@@ -96,8 +96,8 @@ def test_derivatives_horizontal_ramp():
     img = np.tile(np.arange(10, dtype=np.float32) * 10, (8, 1))
     dx, dy = pp.compute_derivatives(jnp.array(img))
     dx, dy = np.asarray(dx), np.asarray(dy)
-    # interior: dx = 10*(2*0.52201+0.79451) ≈ 18.3, truncated
-    expect = np.trunc(10 * (2 * 0.52201 + 0.79451))
+    # interior: taps at x±1 differ by 2·10, so dx = 20·(2·0.52201+0.79451)
+    expect = np.trunc(20 * (2 * 0.52201 + 0.79451))
     assert np.all(dx[1:-1, 2:-2] == expect)
     assert np.all(dy[1:-1, 2:-2] == 0)
 
