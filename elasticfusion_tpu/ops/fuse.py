@@ -1,0 +1,309 @@
+"""Surfel fusion and cleanup — TPU-native equivalent of `GlobalModel::fuse`
+and `GlobalModel::clean` (/root/reference/Core/GlobalModel.cpp:356-671) and
+their GLSL programs (data.vert/geom, update.vert, copy_unstable.vert/geom).
+
+Reference structure being matched (SURVEY.md §3.3):
+  - *Data pass* (data.vert): per input pixel, search the index-map window for
+    the best existing surfel; matched pixels rasterize an update into the
+    winner's texel, unmatched ones stream out new unstable surfels.
+  - *Update pass* (update.vert): every map surfel reads its update texel and
+    merges by confidence-weighted averaging.
+  - *Clean pass* (copy_unstable.vert/geom): stream all surfels, culling
+    merged/free-space-violating/stale-unstable ones, and compact survivors.
+
+TPU design differences (deliberate, not oversights):
+  - The rasterize-to-surfel-texel trick (data.vert:176-187) resolves multiple
+    pixels matching one surfel by arbitrary last-write-wins.  Here ALL
+    matching measurements accumulate via scatter-add (segment-sum) and merge
+    in one confidence-weighted step — deterministic and strictly more
+    informative.
+  - The reference's 4x4 half-pixel-stepped texture loop (data.vert:123-158)
+    samples 16 positions that alias onto a 3x3 pixel window with binomial
+    weights {1,2,1}x{1,2,1}; we search that window directly and use the same
+    weights for clean's count thresholds (count>8, zCount>4,
+    copy_unstable.vert:75-111) so the culling aggressiveness matches.
+  - Transform-feedback compaction becomes prefix-sum compaction
+    (surfels.compact).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..config import CameraConfig
+from ..surfels import (
+    SurfelMap,
+    central_diff_normals,
+    compact,
+    pixel_confidence,
+    surfel_radius,
+)
+from .splat import IndexPrediction
+
+# clean()'s 3x3 window weights — the pixel-aliasing multiplicity of the
+# reference's 16-sample loop (see module docstring)
+_W3 = (1.0, 2.0, 1.0)
+
+
+class FuseStats(NamedTuple):
+    matched: jax.Array   # pixels merged into existing surfels
+    added: jax.Array     # new unstable surfels appended
+    count: jax.Array     # live surfel count after fuse
+
+
+def fuse(
+    m: SurfelMap,
+    pred: IndexPrediction,
+    T_wc: jax.Array,
+    tick,
+    rgb: jax.Array,              # [H,W,3] u8/f32
+    depth_raw_m: jax.Array,      # [H,W] metric raw depth (DEPTH_METRIC)
+    depth_filtered_m: jax.Array, # [H,W] metric filtered (DEPTH_METRIC_FILTERED)
+    cam: CameraConfig,
+    max_depth: float,
+    weighting,
+) -> tuple[SurfelMap, FuseStats]:
+    """GlobalModel::fuse (GlobalModel.cpp:356-525).  See module docstring."""
+    H, W = depth_raw_m.shape
+    n_px = H * W
+    cap = m.capacity
+
+    u = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
+    v = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)
+    ui = u.astype(jnp.int32)
+    vi = v.astype(jnp.int32)
+
+    # --- measurement construction (data.vert:76-105) ---
+    z = depth_raw_m
+    xl = (u - cam.cx) / cam.fx
+    yl = (v - cam.cy) / cam.fy
+    v_local = jnp.stack([xl * z, yl * z, z], axis=0)           # raw-depth vertex
+    n_local, n_valid = central_diff_normals(depth_filtered_m, cam)
+    rad_new = surfel_radius(depth_filtered_m, n_local[2], cam)
+    conf_new = pixel_confidence(u, v, weighting, cam)
+
+    # --- validity gates (data.vert:110-114) ---
+    sub = ((ui % 2) == (tick % 2)) & ((vi % 2) == (tick % 2))
+    nb_ok = jnp.ones((H, W), jnp.bool_)
+    for dy, dx in ((0, -1), (-1, 0), (0, 1), (1, 0)):
+        nb = jnp.roll(jnp.roll(z, -dy, axis=0), -dx, axis=1)
+        row_in = (vi + dy >= 0) & (vi + dy < H) & (ui + dx >= 0) & (ui + dx < W)
+        nb_ok &= jnp.where(row_in, nb > 0, False)
+    measuring = sub & nb_ok & (z > 0) & (z <= max_depth) & n_valid
+
+    # --- window search for the best existing surfel (data.vert:123-158) ---
+    lam = jnp.sqrt(xl * xl + yl * yl + 1.0)
+    ray_norm = lam  # |(xl, yl, 1)|
+    best_dist = jnp.full((H, W), 1000.0)
+    best_id = jnp.full((H, W), cap, jnp.int32)  # cap == no match
+    index = pred.index
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            cand = jnp.roll(jnp.roll(index, -dy, axis=0), -dx, axis=1)
+            inb = (vi + dy >= 0) & (vi + dy < H) & (ui + dx >= 0) & (ui + dx < W)
+            cand = jnp.where(inb, cand, -1)
+            cid = jnp.clip(cand, 0, cap - 1).reshape(-1)
+            vc = jnp.take(pred.pos_c, cid, axis=1).reshape(3, H, W)
+            nc = jnp.take(pred.normal_c, cid, axis=1).reshape(3, H, W)
+            has = cand >= 0
+            # depth along ray agreement (data.vert:142)
+            depth_ok = jnp.abs(vc[2] * lam - z * lam) < 0.05
+            # perpendicular point-to-ray distance (data.vert:144)
+            cx_ = yl * vc[2] - vc[1]
+            cy_ = vc[0] - xl * vc[2]
+            cz_ = xl * vc[1] - yl * vc[0]
+            dist = jnp.sqrt(cx_ * cx_ + cy_ * cy_ + cz_ * cz_) / ray_norm
+            # normal compatibility unless grazing (data.vert:148)
+            nn = jnp.sum(nc * n_local, axis=0)
+            denom = jnp.maximum(
+                jnp.linalg.norm(nc, axis=0) * jnp.linalg.norm(n_local, axis=0), 1e-12
+            )
+            ang = jnp.arccos(jnp.clip(nn / denom, -1.0, 1.0))
+            norm_ok = (jnp.abs(nc[2]) < 0.75) | (jnp.abs(ang) < 0.5)
+            ok = has & depth_ok & norm_ok & (dist < best_dist)
+            best_dist = jnp.where(ok, dist, best_dist)
+            best_id = jnp.where(ok, cand, best_id)
+
+    matched = measuring & (best_id < cap)
+    new_pt = measuring & ~matched
+
+    # --- merge accumulation (update.vert:49-92, generalized to all matches) ---
+    R = T_wc[:3, :3]
+    t = T_wc[:3, 3]
+    v_g = (R @ v_local.reshape(3, -1) + t[:, None])            # world
+    n_g = R @ n_local.reshape(3, -1)
+
+    bid = jnp.where(matched, best_id, cap).reshape(-1)
+    old_rad_at = jnp.take(m.radius, jnp.clip(bid, 0, cap - 1))
+    # radius gate (update.vert:61): merge geometry only if not much coarser
+    full_merge = matched.reshape(-1) & (rad_new.reshape(-1) < 1.5 * old_rad_at)
+    a = jnp.where(matched.reshape(-1), conf_new.reshape(-1), 0.0)
+    a_full = jnp.where(full_merge, a, 0.0)
+
+    sum_a = jnp.zeros((cap,), jnp.float32).at[bid].add(a, mode="drop")
+    sum_af = jnp.zeros((cap,), jnp.float32).at[bid].add(a_full, mode="drop")
+    sum_av = jnp.zeros((3, cap), jnp.float32).at[:, bid].add(a_full * v_g, mode="drop")
+    col_meas = rgb.reshape(-1, 3).T.astype(jnp.float32)
+    sum_ac = jnp.zeros((3, cap), jnp.float32).at[:, bid].add(a_full * col_meas, mode="drop")
+    sum_an = jnp.zeros((3, cap), jnp.float32).at[:, bid].add(a_full * n_g, mode="drop")
+    sum_ar = jnp.zeros((cap,), jnp.float32).at[bid].add(
+        a_full * rad_new.reshape(-1), mode="drop"
+    )
+
+    c_k = m.conf
+    denom_f = c_k + sum_af
+    has_full = sum_af > 0
+    safe_den = jnp.where(has_full, denom_f, 1.0)
+    new_pos = jnp.where(has_full[None], (c_k[None] * m.pos + sum_av) / safe_den[None], m.pos)
+    new_col = jnp.where(has_full[None], (c_k[None] * m.color + sum_ac) / safe_den[None], m.color)
+    nr = (c_k[None] * m.normal + sum_an)
+    nr_n = jnp.sqrt(jnp.sum(nr * nr, axis=0, keepdims=True))
+    new_norm = jnp.where(has_full[None], nr / jnp.maximum(nr_n, 1e-12), m.normal)
+    new_rad = jnp.where(has_full, (c_k * m.radius + sum_ar) / safe_den, m.radius)
+    touched = sum_a > 0
+    new_conf = c_k + sum_a
+    new_last = jnp.where(touched, jnp.float32(tick), m.last_t)
+
+    # --- append new unstable surfels (data.geom:36-49) ---
+    npm = new_pt.reshape(-1)
+    dest = jnp.where(npm, m.count + jnp.cumsum(npm.astype(jnp.int32)) - 1, cap)
+    dest = jnp.where(dest < cap, dest, cap)
+    tickf = jnp.float32(tick)
+    n_new = jnp.minimum(jnp.sum(npm.astype(jnp.int32)), cap - m.count)
+
+    out = SurfelMap(
+        pos=new_pos.at[:, dest].set(v_g, mode="drop"),
+        conf=new_conf.at[dest].set(conf_new.reshape(-1), mode="drop"),
+        color=new_col.at[:, dest].set(col_meas, mode="drop"),
+        init_t=m.init_t.at[dest].set(jnp.full((n_px,), tickf), mode="drop"),
+        last_t=new_last.at[dest].set(jnp.full((n_px,), tickf), mode="drop"),
+        normal=new_norm.at[:, dest].set(n_g, mode="drop"),
+        radius=new_rad.at[dest].set(rad_new.reshape(-1), mode="drop"),
+        count=m.count + n_new,
+    )
+    stats = FuseStats(
+        matched=jnp.sum(matched.astype(jnp.int32)),
+        added=n_new,
+        count=out.count,
+    )
+    return out, stats
+
+
+def clean(
+    m: SurfelMap,
+    pred: IndexPrediction,
+    T_wc: jax.Array,
+    tick,
+    cam: CameraConfig,
+    conf_threshold: float,
+    time_delta: int,
+    max_depth: float,
+    unstable_age: int = 20,
+    depth_synth: Optional[jax.Array] = None,  # [H,W] synthesized depth
+    deformed: Optional[jax.Array] = None,     # [3,N] deformed positions
+    deformed_normal: Optional[jax.Array] = None,
+    fern_accepted: bool = False,
+) -> SurfelMap:
+    """GlobalModel::clean (GlobalModel.cpp:527-671, copy_unstable.vert).
+
+    Culling rules (copy_unstable.vert:75-128): a surfel dies if >=3 distinct
+    stable older surfels overlap it in the index-map window (count>8 with
+    {1,2,1} weights), or >=2 same-tick closer surfels occlude it (zCount>4 —
+    free-space violation), or it timed out unstable (age>20 & conf<thresh);
+    surfels outside the time window always survive.
+
+    Deformation-graph application (copy_unstable.vert:132-303) happens in the
+    deformation module; its output is passed in via `deformed`/
+    `deformed_normal`, and the post-deform timestamp refresh against
+    `depth_synth` (vert:305-321) happens here."""
+    cap = m.capacity
+    H, W = cam.height, cam.width
+    T_cw_R = T_wc[:3, :3].T
+    t = T_wc[:3, 3]
+    lp = T_cw_R @ (m.pos - t[:, None])          # [3,N] camera frame
+    ln = T_cw_R @ m.normal
+    ln = ln / jnp.maximum(jnp.sqrt(jnp.sum(ln * ln, axis=0, keepdims=True)), 1e-12)
+
+    safe_z = jnp.where(jnp.abs(lp[2]) > 1e-12, lp[2], 1.0)
+    x = lp[0] * cam.fx / safe_z + cam.cx
+    y = lp[1] * cam.fy / safe_z + cam.cy
+    px = jnp.round(x).astype(jnp.int32)
+    py = jnp.round(y).astype(jnp.int32)
+
+    in_view = (
+        ((tick - m.last_t) < time_delta)
+        & (lp[2] > 0)
+        & (x > 0) & (y > 0) & (x < W) & (y < H)
+    )
+
+    count = jnp.zeros((cap,), jnp.float32)
+    zcount = jnp.zeros((cap,), jnp.float32)
+    index_flat = pred.index.reshape(-1)
+    for iy, wy in zip((-1, 0, 1), _W3):
+        for ix, wx in zip((-1, 0, 1), _W3):
+            w = wx * wy
+            qx = px + ix
+            qy = py + iy
+            inb = (qx >= 0) & (qx < W) & (qy >= 0) & (qy < H)
+            flat = jnp.clip(qy, 0, H - 1) * W + jnp.clip(qx, 0, W - 1)
+            cand = jnp.where(inb, jnp.take(index_flat, flat), -1)
+            cid = jnp.clip(cand, 0, cap - 1)
+            has = (cand >= 0) & in_view
+            c_z = jnp.take(pred.pos_c[2], cid)
+            c_x = jnp.take(pred.pos_c[0], cid)
+            c_y = jnp.take(pred.pos_c[1], cid)
+            c_conf = jnp.take(m.conf, cid)
+            c_it = jnp.take(m.init_t, cid)
+            c_lt = jnp.take(m.last_t, cid)
+            stable = c_conf > conf_threshold
+            behind_me = c_z > lp[2]
+            dz = c_z - lp[2]
+            dxy = jnp.sqrt((c_x - lp[0]) ** 2 + (c_y - lp[1]) ** 2)
+            # merged-candidate overlap (copy_unstable.vert:84-96)
+            count += jnp.where(
+                has & (c_it < m.init_t) & stable & behind_me & (dz < 0.01)
+                & (dxy < m.radius * 1.4),
+                w, 0.0,
+            )
+            # free-space violation (copy_unstable.vert:98-106)
+            zcount += jnp.where(
+                has & (c_lt == tick) & stable & behind_me & (dz > 0.01)
+                & (jnp.abs(ln[2]) > 0.85),
+                w, 0.0,
+            )
+
+    keep = ~((count > 8.0) | (zcount > 4.0))
+    # stale unstable (copy_unstable.vert:120-123)
+    keep &= ~(((tick - m.last_t) > unstable_age) & (m.conf < conf_threshold))
+    # outside time window: always keep (copy_unstable.vert:125-128)
+    keep |= (m.last_t > 0) & ((tick - m.last_t) > time_delta)
+
+    out = m
+    if deformed is not None:
+        # don't deform surfels fused this tick (copy_unstable.vert:134)
+        fresh = m.init_t == tick
+        new_pos = jnp.where(fresh[None], m.pos, deformed)
+        new_nrm = m.normal if deformed_normal is None else jnp.where(
+            fresh[None], m.normal, deformed_normal
+        )
+        out = out._replace(pos=new_pos, normal=new_nrm)
+        if depth_synth is not None and not fern_accepted:
+            # timestamp refresh vs synthesized depth (copy_unstable.vert:305-321)
+            lp2 = T_cw_R @ (new_pos - t[:, None])
+            sz = jnp.where(jnp.abs(lp2[2]) > 1e-12, lp2[2], 1.0)
+            x2 = lp2[0] * cam.fx / sz + cam.cx
+            y2 = lp2[1] * cam.fy / sz + cam.cy
+            inb = (lp2[2] > 0) & (lp2[2] < max_depth) & (x2 > 0) & (y2 > 0) & (x2 < W) & (y2 < H)
+            flat = jnp.clip(y2.astype(jnp.int32), 0, H - 1) * W + jnp.clip(
+                x2.astype(jnp.int32), 0, W - 1
+            )
+            d = jnp.take(depth_synth.reshape(-1), flat)
+            refresh = (
+                (m.conf > conf_threshold) & ~fresh & inb & (d > 0) & (lp2[2] < d + 0.1)
+            )
+            out = out._replace(last_t=jnp.where(refresh, jnp.float32(tick), out.last_t))
+
+    return compact(out, keep)

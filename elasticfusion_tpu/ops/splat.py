@@ -1,0 +1,277 @@
+"""Map prediction by surfel splatting — TPU-native equivalent of `IndexMap`
+(/root/reference/Core/IndexMap.cpp) and its GLSL programs (index_map.vert/frag,
+splat.vert, combo_splat.frag, depth_splat.frag).
+
+The reference rasterizes surfels with OpenGL: `predictIndices` renders each
+in-window surfel as a 1-px point carrying its VBO index into 4 MRT targets
+(IndexMap.cpp:190-258), and `combinedPredict` renders variable-size point
+sprites whose fragments do ray/disk intersection with perspective-correct
+depth (splat.vert:70-85, combo_splat.frag:37-60).
+
+TPU design — "rasterization without a rasterizer" (SURVEY.md §7):
+  1. *Point pass* (scatter): every surfel projects to one pixel; two
+     scatter-min passes z-resolve a winner-surfel-id image.  Deterministic:
+     ties at equal depth go to the lowest surfel index.
+  2. *Splat resolve* (gather/stencil): each output pixel examines the winning
+     surfels of its KxK neighbourhood (pure VPU shifts — no scatter), does the
+     same ray/disk intersection as combo_splat.frag against each candidate's
+     tangent disk, and keeps the nearest hit.
+
+This turns the scatter-heavy splat into one small scatter plus a fused
+elementwise stencil, which is the shape XLA/TPU runs fastest.  The
+approximation vs. the reference: a surfel only contributes if it won at least
+one point-pass pixel in the neighbourhood — occluded-at-centre surfels drop
+out; `FillIn` covers any extra holes exactly as it covers splat holes in the
+reference.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..config import CameraConfig
+from ..surfels import SurfelMap
+
+INVALID_ID = jnp.int32(2147483647)
+
+
+class IndexPrediction(NamedTuple):
+    """predictIndices output: per-pixel winning surfel id (-1 = empty) plus
+    the per-surfel camera-frame transforms, shared by fuse/clean consumers
+    (the reference's vertConf/colorTime/normRad MRTs, index_map.frag:31-37,
+    become gathers into these arrays)."""
+
+    index: jax.Array    # [H, W] i32 surfel id, -1 where empty
+    pos_c: jax.Array    # [3, N] camera-frame surfel positions
+    normal_c: jax.Array # [3, N] camera-frame surfel normals
+
+
+class Prediction(NamedTuple):
+    """combinedPredict output (camera frame), mirroring the 4 MRTs of
+    combo_splat.frag: image, vertex+conf, normal+radius, init-time."""
+
+    image: jax.Array    # [H, W, 3] f32 RGB 0..255
+    vertex: jax.Array   # [3, H, W] camera-frame positions (0 = empty)
+    conf: jax.Array     # [H, W]
+    normal: jax.Array   # [3, H, W]
+    radius: jax.Array   # [H, W]
+    time: jax.Array     # [H, W] f32 surfel init time (colTime.z)
+    depth: jax.Array    # [H, W] perspective-corrected depth
+
+
+def _camera_frame(m: SurfelMap, T_wc: jax.Array):
+    T_cw_R = T_wc[:3, :3].T
+    t = T_wc[:3, 3]
+    pos_c = T_cw_R @ (m.pos - t[:, None])
+    normal_c = T_cw_R @ m.normal
+    return pos_c, normal_c
+
+
+def _point_raster(
+    pos_c: jax.Array,
+    valid: jax.Array,
+    cam: CameraConfig,
+    slot_live: jax.Array,
+) -> jax.Array:
+    """Scatter-min z-buffer of 1-px points -> winner id image [H,W] (i32,
+    INVALID_ID where empty).  Replaces the GL depth-tested point render of
+    index_map.vert."""
+    H, W = cam.height, cam.width
+    N = pos_c.shape[1]
+    z = pos_c[2]
+    safe_z = jnp.where(jnp.abs(z) > 1e-12, z, 1.0)
+    u = jnp.floor(pos_c[0] * cam.fx / safe_z + cam.cx).astype(jnp.int32)
+    v = jnp.floor(pos_c[1] * cam.fy / safe_z + cam.cy).astype(jnp.int32)
+    ok = valid & slot_live & (z > 0) & (u >= 0) & (v >= 0) & (u < W) & (v < H)
+    pix = jnp.where(ok, v * W + u, H * W)  # out-of-range -> dropped
+
+    big = jnp.float32(3.4e38)
+    zbuf = jnp.full((H * W,), big, jnp.float32).at[pix].min(
+        jnp.where(ok, z, big), mode="drop"
+    )
+    z_at = zbuf[jnp.clip(pix, 0, H * W - 1)]
+    ids = jax.lax.broadcasted_iota(jnp.int32, (N, 1), 0).squeeze(-1)
+    cand = jnp.where(ok & (z <= z_at), ids, INVALID_ID)
+    winner = jnp.full((H * W,), INVALID_ID, jnp.int32).at[pix].min(cand, mode="drop")
+    return winner.reshape(H, W)
+
+
+def predict_indices(
+    m: SurfelMap,
+    T_wc: jax.Array,
+    cam: CameraConfig,
+    time,
+    time_delta: int,
+    max_depth: float,
+) -> IndexPrediction:
+    """IndexMap::predictIndices (IndexMap.cpp:190-258 + index_map.vert):
+    render every in-time-window surfel as a point; no confidence gate.
+    The reference's `current > 0` empty test (data.vert:131) cannot represent
+    surfel 0 — here empty is an explicit -1."""
+    pos_c, normal_c = _camera_frame(m, T_wc)
+    N = m.capacity
+    slot = jax.lax.broadcasted_iota(jnp.int32, (N, 1), 0).squeeze(-1)
+    live = slot < m.count
+    # index_map.vert:45: discard if z > maxDepth || z < 0 || time - last > delta
+    gate = (pos_c[2] <= max_depth) & ((time - m.last_t) <= time_delta)
+    winner = _point_raster(pos_c, gate, cam, live)
+    index = jnp.where(winner == INVALID_ID, -1, winner)
+    return IndexPrediction(index=index, pos_c=pos_c, normal_c=normal_c)
+
+
+def _gather_surfel_channels(
+    m: SurfelMap, pos_c: jax.Array, normal_c: jax.Array, pid: jax.Array
+):
+    """Gather per-pixel surfel attributes for an id image [H,W] (INVALID_ID
+    = empty).  Returns dict of [.,H,W] channel images."""
+    H, W = pid.shape
+    idx = jnp.clip(pid.reshape(-1), 0, m.capacity - 1)
+    empty = (pid == INVALID_ID).reshape(-1)
+
+    def g1(a):
+        return jnp.where(empty, 0.0, jnp.take(a, idx)).reshape(H, W)
+
+    def g3(a):
+        return jnp.where(empty[None], 0.0, jnp.take(a, idx, axis=1)).reshape(3, H, W)
+
+    return dict(
+        p=g3(pos_c),
+        n=g3(normal_c),
+        rad=g1(m.radius),
+        conf=g1(m.conf),
+        col=g3(m.color),
+        it=g1(m.init_t),
+        empty=empty.reshape(H, W),
+    )
+
+
+def _shift(x: jax.Array, dy: int, dx: int) -> jax.Array:
+    """Shift so out[y,x] = in[y+dy, x+dx], zero-filled at borders."""
+    out = jnp.roll(jnp.roll(x, -dy, axis=-2), -dx, axis=-1)
+    H, W = x.shape[-2], x.shape[-1]
+    row = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+    inb = (row + dy >= 0) & (row + dy < H) & (col + dx >= 0) & (col + dx < W)
+    return jnp.where(inb, out, 0.0) if x.dtype != jnp.bool_ else out & inb
+
+
+def combined_predict(
+    m: SurfelMap,
+    T_wc: jax.Array,
+    cam: CameraConfig,
+    time,
+    max_time,
+    time_delta: int,
+    conf_threshold: float,
+    max_depth: float,
+    footprint: int = 5,
+) -> Prediction:
+    """IndexMap::combinedPredict (IndexMap.cpp:293-393) — splat-render the
+    image/vertex/normal/time prediction.  Gates from splat.vert:57:
+    z in (0, maxDepth], conf >= confThreshold, time - last <= timeDelta,
+    last <= maxTime.  ACTIVE vs INACTIVE model halves are selected purely by
+    the (time, maxTime) arguments (ElasticFusion.cpp:621-644 vs 450-459)."""
+    pos_c, normal_c = _camera_frame(m, T_wc)
+    N = m.capacity
+    slot = jax.lax.broadcasted_iota(jnp.int32, (N, 1), 0).squeeze(-1)
+    live = slot < m.count
+    gate = (
+        (pos_c[2] <= max_depth)
+        & (m.conf >= conf_threshold)
+        & ((time - m.last_t) <= time_delta)
+        & (m.last_t <= max_time)
+    )
+    pid = _point_raster(pos_c, gate, cam, live)
+    ch = _gather_surfel_channels(m, pos_c, normal_c, pid)
+
+    H, W = cam.height, cam.width
+    u = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
+    v = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)
+    # pixel ray (un-normalized; scale cancels in the plane intersection)
+    lx = (u - cam.cx) / cam.fx
+    ly = (v - cam.cy) / cam.fy
+
+    big = jnp.float32(3.4e38)
+    best = dict(
+        z=jnp.full((H, W), big),
+        vx=jnp.zeros((H, W)), vy=jnp.zeros((H, W)),
+        conf=jnp.zeros((H, W)),
+        nx=jnp.zeros((H, W)), ny=jnp.zeros((H, W)), nz=jnp.zeros((H, W)),
+        rad=jnp.zeros((H, W)),
+        r=jnp.zeros((H, W)), g=jnp.zeros((H, W)), b=jnp.zeros((H, W)),
+        it=jnp.zeros((H, W)),
+    )
+    r = footprint // 2
+    for dy in range(-r, footprint - r):
+        for dx in range(-r, footprint - r):
+            p = jnp.stack([_shift(ch["p"][i], dy, dx) for i in range(3)])
+            n = jnp.stack([_shift(ch["n"][i], dy, dx) for i in range(3)])
+            rad = _shift(ch["rad"], dy, dx)
+            nonempty = ~_shift(ch["empty"] | (ch["p"][2] <= 0), dy, dx)
+            # ray/disk intersection (combo_splat.frag:37-50)
+            ln = lx * n[0] + ly * n[1] + n[2]
+            pn = p[0] * n[0] + p[1] * n[1] + p[2] * n[2]
+            zc = pn / jnp.where(jnp.abs(ln) > 1e-12, ln, 1.0)
+            cx_, cy_, cz_ = zc * lx, zc * ly, zc
+            d2 = (cx_ - p[0]) ** 2 + (cy_ - p[1]) ** 2 + (cz_ - p[2]) ** 2
+            hit = nonempty & (jnp.abs(ln) > 1e-12) & (zc > 0) & (d2 <= rad * rad)
+            closer = hit & (zc < best["z"])
+            cand = dict(
+                z=zc, vx=cx_, vy=cy_,
+                conf=_shift(ch["conf"], dy, dx),
+                nx=n[0], ny=n[1], nz=n[2], rad=rad,
+                r=_shift(ch["col"][0], dy, dx),
+                g=_shift(ch["col"][1], dy, dx),
+                b=_shift(ch["col"][2], dy, dx),
+                it=_shift(ch["it"], dy, dx),
+            )
+            best = {k: jnp.where(closer, cand[k], best[k]) for k in best}
+
+    found = best["z"] < big
+    zed = jnp.where(found, best["z"], 0.0)
+    return Prediction(
+        image=jnp.stack(
+            [
+                jnp.where(found, best["r"], 0.0),
+                jnp.where(found, best["g"], 0.0),
+                jnp.where(found, best["b"], 0.0),
+            ],
+            axis=-1,
+        ),
+        vertex=jnp.stack(
+            [jnp.where(found, best["vx"], 0.0), jnp.where(found, best["vy"], 0.0), zed]
+        ),
+        conf=jnp.where(found, best["conf"], 0.0),
+        normal=jnp.stack(
+            [
+                jnp.where(found, best["nx"], 0.0),
+                jnp.where(found, best["ny"], 0.0),
+                jnp.where(found, best["nz"], 0.0),
+            ]
+        ),
+        radius=jnp.where(found, best["rad"], 0.0),
+        time=jnp.where(found, best["it"], 0.0),
+        depth=zed,
+    )
+
+
+def synthesize_depth(
+    m: SurfelMap,
+    T_wc: jax.Array,
+    cam: CameraConfig,
+    time,
+    max_time,
+    time_delta: int,
+    conf_threshold: float,
+    max_depth: float,
+    footprint: int = 5,
+) -> jax.Array:
+    """IndexMap::synthesizeDepth (IndexMap.cpp:395-476, depth_splat.frag):
+    depth-only splat used for post-deformation timestamp refresh and cleanup
+    occlusion checks.  Same gates as combinedPredict."""
+    return combined_predict(
+        m, T_wc, cam, time, max_time, time_delta, conf_threshold, max_depth, footprint
+    ).depth
