@@ -1,0 +1,392 @@
+"""Engine facade — the TPU-native `ElasticFusion` class
+(/root/reference/Core/ElasticFusion.{h,cpp}).
+
+`process_frame` mirrors the reference pipeline (ElasticFusion.cpp:270-607,
+SURVEY.md §3.1): preprocess -> frame-to-model tracking -> predict ->
+[loop closures] -> fuse -> clean -> sample graph -> predict.  The host side
+is a thin Python orchestrator (the idiomatic TPU analog of the reference's
+C++ driving CUDA/GL); all per-frame compute runs in a handful of jitted
+device programs with `tick`/pose passed as traced values so nothing
+recompiles after frame 2.
+
+Loop closure subsystems (ferns / deformation) plug in via closeLoops —
+see ferns.py and deformation.py.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import EngineConfig
+from .ops.fillin import fill_all
+from .ops.fuse import clean, fuse
+from .ops.preprocess import bilateral_filter, metricise_depth, pyr_down_intensity, rgb_to_intensity
+from .ops.splat import Prediction, combined_predict, predict_indices, synthesize_depth
+from .se3 import np_orthonormalize
+from .surfels import SurfelMap, init_map_from_frame
+from .tracking import (
+    OdometryInputs,
+    build_current_frame_pyramids,
+    build_model_pyramids,
+    get_incremental_transformation,
+)
+from .utils.stopwatch import Stopwatch
+
+
+# ---------------------------------------------------------------------------
+# jitted per-frame device programs
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _preprocess(depth_mm, cfg: EngineConfig):
+    """filterDepth + metriciseDepth (ElasticFusion.cpp:655-673)."""
+    d = depth_mm.astype(jnp.float32)
+    filt = bilateral_filter(d, cfg.max_depth_processed, cfg.bilateral_radius)
+    return (
+        metricise_depth(d, cfg.depth_cutoff),
+        metricise_depth(filt, cfg.depth_cutoff),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _init_map(depth_raw_m, depth_filt_m, rgb, cfg: EngineConfig) -> SurfelMap:
+    return init_map_from_frame(
+        cfg.max_surfels, depth_raw_m, depth_filt_m, rgb, cfg.camera,
+        cfg.depth_cutoff,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _predict(m: SurfelMap, T_wc, tick, max_time, depth_filt_m, rgb, lost, cfg: EngineConfig):
+    """predict() (ElasticFusion.cpp:621-653): ACTIVE combinedPredict + the
+    three fill-in passes + the denseEnough statistic (cpp:256-268)."""
+    pred = combined_predict(
+        m, T_wc, cfg.camera, tick, max_time, cfg.time_delta,
+        cfg.confidence_threshold, cfg.max_depth_processed,
+    )
+    vtx, nrm, img = fill_all(
+        pred, depth_filt_m, rgb, cfg.camera, cfg.max_depth_processed,
+        lost, cfg.frame_to_frame_rgb,
+    )
+    dense_frac = jnp.mean((jnp.sum(pred.image, axis=-1) > 0).astype(jnp.float32))
+    return pred, vtx, nrm, img, dense_frac
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "do_fill"))
+def _track(
+    m_pred_vertex, m_pred_normal, m_pred_image,
+    depth_filt_m, rgb, so3_last_pyr2, T_prev, cfg: EngineConfig, do_fill: bool,
+):
+    """frameToModel init + getIncrementalTransformation (cpp:308-324)."""
+    vmaps_c, nmaps_c, images_c, depths_c = build_current_frame_pyramids(
+        depth_filt_m, rgb, cfg
+    )
+    vmaps_g, nmaps_g, images_m, depths_m = build_model_pyramids(
+        m_pred_vertex, m_pred_normal, m_pred_image, T_prev, cfg
+    )
+    inputs = OdometryInputs(
+        vmaps_curr=vmaps_c,
+        nmaps_curr=nmaps_c,
+        vmaps_prev_g=vmaps_g,
+        nmaps_prev_g=nmaps_g,
+        last_images=images_m,
+        next_images=images_c,
+        last_depths=depths_m,
+        next_depths=depths_c,
+        so3_last_image=so3_last_pyr2,
+        T_prev=T_prev,
+    )
+    res = get_incremental_transformation(inputs, cfg)
+    return res, images_c[cfg.num_pyramid_levels - 1]
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _fuse_and_clean(
+    m: SurfelMap, T_wc, tick, rgb, depth_raw_m, depth_filt_m, weighting,
+    cfg: EngineConfig,
+):
+    """predictIndices -> fuse -> predictIndices -> clean (cpp:536-585),
+    without a deformation graph (the deformed path runs unjitted pieces in
+    Deformation)."""
+    cam = cfg.camera
+    pred = predict_indices(
+        m, T_wc, cam, tick, cfg.time_delta, cfg.max_depth_processed
+    )
+    m2, stats = fuse(
+        m, pred, T_wc, tick, rgb, depth_raw_m, depth_filt_m, cam,
+        cfg.max_depth_processed, weighting,
+    )
+    pred2 = predict_indices(
+        m2, T_wc, cam, tick, cfg.time_delta, cfg.max_depth_processed
+    )
+    m3 = clean(
+        m2, pred2, T_wc, tick, cam, cfg.confidence_threshold, cfg.time_delta,
+        cfg.max_depth_processed, cfg.unstable_age,
+    )
+    return m3, stats
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _coarse_intensity(rgb, cfg: EngineConfig):
+    """Coarsest-level intensity pyramid of a frame (for next frame's SO3
+    pre-alignment history, RGBDOdometry initFirstRGB + image swap)."""
+    img = rgb_to_intensity(rgb)
+    for _ in range(1, cfg.num_pyramid_levels):
+        img = pyr_down_intensity(img)
+    return img
+
+
+# ---------------------------------------------------------------------------
+# Engine
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class FrameResult:
+    T_wc: np.ndarray
+    tracking_ok: bool
+    lost: bool
+    icp_error: float
+    icp_count: float
+    surfel_count: int
+    fused: bool
+
+
+class Engine:
+    """TPU-native dense RGB-D SLAM engine with the ElasticFusion surface
+    (construct, process_frame per frame, save_ply / save_trajectory)."""
+
+    def __init__(self, cfg: EngineConfig = EngineConfig()):
+        self.cfg = cfg
+        self.tick = 1                             # starts at 1 (EF.cpp:55)
+        self.T_wc = np.eye(4)                     # f64 host pose (Sophus parity)
+        self.lost = False
+        self.tracking_count = 0
+        self.last_frame_recovery = False
+        self.poses: List[Tuple[int, np.ndarray]] = []   # (timestamp_us, T_wc)
+        self.map: Optional[SurfelMap] = None
+        self.stopwatch = Stopwatch()
+        self.deforms = 0
+        self.fern_deforms = 0
+        # per-frame carried device state
+        self._so3_hist = None       # prev frame coarsest intensity
+        self._pred = None           # Prediction from end-of-last-frame predict()
+        self._fill = None           # (vertex, normal, image) fill-in maps
+        self._last_icp_error = 0.0
+        self._last_icp_count = 0.0
+        # loop-closure subsystems attach here (ferns.py / deformation.py)
+        self.ferns = None
+        self.local_deformation = None
+        self.global_deformation = None
+        self.relative_cons: list = []
+
+    # -- public knobs (reference getters/setters, ElasticFusion.h:87-255) ----
+    @property
+    def surfel_count(self) -> int:
+        return 0 if self.map is None else int(self.map.count)
+
+    def process_frame(
+        self,
+        rgb: np.ndarray,           # [H,W,3] u8
+        depth_mm: np.ndarray,      # [H,W] u16 millimetres
+        timestamp: int = 0,
+        weight_multiplier: float = 1.0,
+        in_T_wc: Optional[np.ndarray] = None,
+    ) -> FrameResult:
+        cfg = self.cfg
+        sw = self.stopwatch
+        sw.tick("Run")
+        rgb_d = jnp.asarray(rgb)
+        depth_d = jnp.asarray(depth_mm)
+
+        sw.tick("Preprocess")
+        raw_m, filt_m = _preprocess(depth_d, cfg)
+        sw.tock("Preprocess")
+
+        fused = False
+        tracking_ok = True
+
+        if self.tick == 1:
+            self.map = _init_map(raw_m, filt_m, rgb_d, cfg)
+            self._so3_hist = _coarse_intensity(rgb_d, cfg)  # initFirstRGB
+            if in_T_wc is not None:
+                self.T_wc = np.asarray(in_T_wc, np.float64)
+        else:
+            T_prev = self.T_wc.copy()
+
+            if in_T_wc is None:
+                # tracking against last frame's prediction (or its fill-in)
+                sw.tick("autoFill")
+                should_fill = bool(self._dense_frac < 0.75)  # denseEnough
+                sw.tock("autoFill")
+                vtx, nrm, img = self._fill
+                if not should_fill and not cfg.frame_to_frame_rgb:
+                    pv, pn, pi = self._pred.vertex, self._pred.normal, self._pred.image
+                else:
+                    pv, pn, pi = vtx, nrm, img
+
+                sw.tick("odom")
+                res, so3_cur = _track(
+                    pv, pn, pi, filt_m, rgb_d, self._so3_hist,
+                    jnp.asarray(self.T_wc, jnp.float32), cfg, should_fill,
+                )
+                sw.tock("odom")
+                T_curr = np.asarray(res.T_curr, np.float64)
+                self.T_wc = np_orthonormalize(T_curr)
+                self._so3_hist = so3_cur
+                self._last_icp_error = float(res.icp_error)
+                self._last_icp_count = float(res.icp_count)
+
+                tracking_ok = (not cfg.reloc_mode) or self._last_icp_error < 1e-4
+                if cfg.reloc_mode:
+                    tracking_ok = self._reloc_update(res, tracking_ok)
+            else:
+                self.T_wc = np.asarray(in_T_wc, np.float64)
+                self._so3_hist = _coarse_intensity(rgb_d, cfg)
+
+            # velocity-adaptive fusion weight (cpp:371-383)
+            T_cp = np.linalg.inv(self.T_wc) @ T_prev
+            w = max(
+                float(np.linalg.norm(T_cp[:3, 3])), _se3_log_norm(T_cp)
+            )
+            w = min(w, 0.01)
+            weighting = max(1.0 - w / 0.01, 0.5) * weight_multiplier
+
+            T_dev = jnp.asarray(self.T_wc, jnp.float32)
+            tick_dev = jnp.float32(self.tick)
+
+            # predict at the tracked pose (cpp:387) — feeds loop closures
+            self._run_predict(T_dev, tick_dev, filt_m, rgb_d)
+
+            # --- loop closures (ferns / local deformation) ---
+            if cfg.closeLoops and self.ferns is not None:
+                self._close_loops(T_dev, filt_m, rgb_d)
+                T_dev = jnp.asarray(self.T_wc, jnp.float32)
+
+            if (not cfg.rgb_only) and tracking_ok and not self.lost:
+                sw.tick("Fuse")
+                self.map, stats = _fuse_and_clean(
+                    self.map, T_dev, tick_dev, rgb_d, raw_m, filt_m,
+                    jnp.float32(weighting), cfg,
+                )
+                sw.tock("Fuse")
+                fused = True
+
+        self.poses.append((int(timestamp), self.T_wc.copy()))
+
+        # sample deformation graph nodes from the map (cpp:591-597)
+        if self.local_deformation is not None:
+            sw.tick("sampleGraph")
+            self.local_deformation.sample_graph_model(self.map)
+            if self.global_deformation is not None:
+                self.global_deformation.sample_graph_from(self.local_deformation)
+            sw.tock("sampleGraph")
+
+        # final predict for display/ferns/next-frame tracking (cpp:599)
+        T_dev = jnp.asarray(self.T_wc, jnp.float32)
+        self._run_predict(T_dev, jnp.float32(self.tick), filt_m, rgb_d)
+
+        if not self.lost:
+            if self.ferns is not None and self.tick > 1:
+                sw.tick("Ferns::addFrame")
+                vtx, nrm, img = self._fill
+                self.ferns.add_frame(img, vtx, nrm, self.T_wc, self.tick)
+                sw.tock("Ferns::addFrame")
+            self.tick += 1
+        sw.tock("Run")
+
+        return FrameResult(
+            T_wc=self.T_wc.copy(),
+            tracking_ok=tracking_ok,
+            lost=self.lost,
+            icp_error=self._last_icp_error,
+            icp_count=self._last_icp_count,
+            surfel_count=self.surfel_count,
+            fused=fused,
+        )
+
+    # -- internals -----------------------------------------------------------
+
+    def _run_predict(self, T_dev, tick_dev, filt_m, rgb_d):
+        cfg = self.cfg
+        max_time = jnp.float32(0.0) if self.last_frame_recovery else tick_dev
+        pred, vtx, nrm, img, dense = _predict(
+            self.map, T_dev, tick_dev, max_time, filt_m, rgb_d,
+            jnp.bool_(self.lost), cfg,
+        )
+        self._pred = pred
+        self._fill = (vtx, nrm, img)
+        self._dense_frac = float(dense)
+
+    def _reloc_update(self, res, tracking_ok: bool) -> bool:
+        """Relocalization state machine (ElasticFusion.cpp:326-365)."""
+        cov_ok = _covariance_ok(np.asarray(res.A, np.float64))
+        if not self.lost:
+            if not (tracking_ok and cov_ok):
+                self.tracking_count += 1
+                if self.tracking_count > 10:
+                    self.lost = True
+                return False
+            self.tracking_count = 0
+            return True
+        if self.last_frame_recovery:
+            if tracking_ok and cov_ok:
+                self.lost = False
+                self.tracking_count = 0
+            self.last_frame_recovery = False
+        return tracking_ok and cov_ok
+
+    def _close_loops(self, T_dev, filt_m, rgb_d):
+        """Global (fern) + local (model-to-model) loop closure hook — wired
+        in by attach_loop_closure() in closeloop.py."""
+        pass
+
+    # -- outputs -------------------------------------------------------------
+
+    def save_trajectory(self, path, iclnuim: bool = False) -> None:
+        from .io.trajectory import write_freiburg
+
+        write_freiburg(path, self.poses, iclnuim=iclnuim)
+
+    def save_ply(self, path) -> int:
+        from .io.ply import save_ply
+
+        return save_ply(path, self.map, self.cfg.confidence_threshold)
+
+
+def _se3_log_norm(T: np.ndarray) -> float:
+    """|log SE3| used by the fusion weight (Sophus log norm)."""
+    R = T[:3, :3]
+    cos_t = np.clip((np.trace(R) - 1.0) * 0.5, -1.0, 1.0)
+    theta = float(np.arccos(cos_t))
+    if theta < 1e-8:
+        w = np.zeros(3)
+        V_inv = np.eye(3)
+    else:
+        w = (
+            theta
+            / (2.0 * np.sin(theta))
+            * np.array([R[2, 1] - R[1, 2], R[0, 2] - R[2, 0], R[1, 0] - R[0, 1]])
+        )
+        K = np.array([[0, -w[2], w[1]], [w[2], 0, -w[0]], [-w[1], w[0], 0]]) / theta
+        half = theta * 0.5
+        cot = half / np.tan(half)
+        V_inv = np.eye(3) - 0.5 * theta * K + (1.0 - cot) * (K @ K)
+    v = V_inv @ T[:3, 3]
+    return float(np.sqrt(np.dot(v, v) + np.dot(w, w)))
+
+
+def _covariance_ok(A: np.ndarray, thresh: float = 1e-4) -> bool:
+    """Covariance gate: diag of A^-1 all below thresh (cpp:330-344)."""
+    try:
+        cov = np.linalg.inv(A)
+    except np.linalg.LinAlgError:
+        return False
+    return bool((np.diag(cov) < thresh).all())

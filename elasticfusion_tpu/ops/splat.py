@@ -195,65 +195,82 @@ def combined_predict(
     ly = (v - cam.cy) / cam.fy
 
     big = jnp.float32(3.4e38)
-    best = dict(
-        z=jnp.full((H, W), big),
-        vx=jnp.zeros((H, W)), vy=jnp.zeros((H, W)),
-        conf=jnp.zeros((H, W)),
+    r = footprint // 2
+    offsets = [
+        (dy, dx) for dy in range(-r, footprint - r) for dx in range(-r, footprint - r)
+    ]
+
+    def candidate(dy, dx):
+        p = jnp.stack([_shift(ch["p"][i], dy, dx) for i in range(3)])
+        n = jnp.stack([_shift(ch["n"][i], dy, dx) for i in range(3)])
+        rad = _shift(ch["rad"], dy, dx)
+        nonempty = ~_shift(ch["empty"] | (ch["p"][2] <= 0), dy, dx)
+        # ray/disk intersection (combo_splat.frag:37-50)
+        ln = lx * n[0] + ly * n[1] + n[2]
+        pn = p[0] * n[0] + p[1] * n[1] + p[2] * n[2]
+        zc = pn / jnp.where(jnp.abs(ln) > 1e-12, ln, 1.0)
+        d2 = (zc * lx - p[0]) ** 2 + (zc * ly - p[1]) ** 2 + (zc - p[2]) ** 2
+        hit = nonempty & (jnp.abs(ln) > 1e-12) & (zc > 0) & (d2 <= rad * rad)
+        return p, n, rad, zc, d2, hit
+
+    # pass 1: front depth per pixel.  The GL pipeline's depth test resolves
+    # overlapping splats winner-take-all, which biases depth toward the
+    # nearest tilted-disk extrapolation (~2 mm near-bias measured); instead
+    # we z-test to find the front surface ...
+    zmin = jnp.full((H, W), big)
+    for dy, dx in offsets:
+        _, _, _, zc, _, hit = candidate(dy, dx)
+        zmin = jnp.where(hit & (zc < zmin), zc, zmin)
+
+    # pass 2: ... then blend every splat within BLEND_EPS of it, weighted by
+    # confidence x radial-falloff over the disk (surface-splatting style).
+    BLEND_EPS = 0.01  # m; occlusion boundaries stay crisp
+    wsum = jnp.zeros((H, W))
+    acc = dict(
+        z=jnp.zeros((H, W)), conf=jnp.zeros((H, W)),
         nx=jnp.zeros((H, W)), ny=jnp.zeros((H, W)), nz=jnp.zeros((H, W)),
         rad=jnp.zeros((H, W)),
         r=jnp.zeros((H, W)), g=jnp.zeros((H, W)), b=jnp.zeros((H, W)),
-        it=jnp.zeros((H, W)),
     )
-    r = footprint // 2
-    for dy in range(-r, footprint - r):
-        for dx in range(-r, footprint - r):
-            p = jnp.stack([_shift(ch["p"][i], dy, dx) for i in range(3)])
-            n = jnp.stack([_shift(ch["n"][i], dy, dx) for i in range(3)])
-            rad = _shift(ch["rad"], dy, dx)
-            nonempty = ~_shift(ch["empty"] | (ch["p"][2] <= 0), dy, dx)
-            # ray/disk intersection (combo_splat.frag:37-50)
-            ln = lx * n[0] + ly * n[1] + n[2]
-            pn = p[0] * n[0] + p[1] * n[1] + p[2] * n[2]
-            zc = pn / jnp.where(jnp.abs(ln) > 1e-12, ln, 1.0)
-            cx_, cy_, cz_ = zc * lx, zc * ly, zc
-            d2 = (cx_ - p[0]) ** 2 + (cy_ - p[1]) ** 2 + (cz_ - p[2]) ** 2
-            hit = nonempty & (jnp.abs(ln) > 1e-12) & (zc > 0) & (d2 <= rad * rad)
-            closer = hit & (zc < best["z"])
-            cand = dict(
-                z=zc, vx=cx_, vy=cy_,
-                conf=_shift(ch["conf"], dy, dx),
-                nx=n[0], ny=n[1], nz=n[2], rad=rad,
-                r=_shift(ch["col"][0], dy, dx),
-                g=_shift(ch["col"][1], dy, dx),
-                b=_shift(ch["col"][2], dy, dx),
-                it=_shift(ch["it"], dy, dx),
-            )
-            best = {k: jnp.where(closer, cand[k], best[k]) for k in best}
+    wbest = jnp.zeros((H, W))
+    it_best = jnp.zeros((H, W))
+    for dy, dx in offsets:
+        p, n, rad, zc, d2, hit = candidate(dy, dx)
+        front = hit & (zc <= zmin + BLEND_EPS)
+        conf = _shift(ch["conf"], dy, dx)
+        gauss = 1.0 - d2 / jnp.maximum(rad * rad, 1e-12)
+        w = jnp.where(front, jnp.maximum(conf, 1e-3) * jnp.maximum(gauss, 0.05), 0.0)
+        wsum = wsum + w
+        acc["z"] += w * zc
+        acc["conf"] += w * conf
+        acc["nx"] += w * n[0]
+        acc["ny"] += w * n[1]
+        acc["nz"] += w * n[2]
+        acc["rad"] += w * rad
+        acc["r"] += w * _shift(ch["col"][0], dy, dx)
+        acc["g"] += w * _shift(ch["col"][1], dy, dx)
+        acc["b"] += w * _shift(ch["col"][2], dy, dx)
+        # discrete attrs (init time) come from the dominant splat
+        it = _shift(ch["it"], dy, dx)
+        take = w > wbest
+        it_best = jnp.where(take, it, it_best)
+        wbest = jnp.maximum(w, wbest)
 
-    found = best["z"] < big
-    zed = jnp.where(found, best["z"], 0.0)
+    found = wsum > 0
+    inv_w = jnp.where(found, 1.0 / jnp.maximum(wsum, 1e-12), 0.0)
+    zed = acc["z"] * inv_w
+    nx, ny, nz = acc["nx"] * inv_w, acc["ny"] * inv_w, acc["nz"] * inv_w
+    nlen = jnp.sqrt(nx * nx + ny * ny + nz * nz)
+    nscale = jnp.where(found & (nlen > 1e-12), 1.0 / jnp.maximum(nlen, 1e-12), 0.0)
     return Prediction(
         image=jnp.stack(
-            [
-                jnp.where(found, best["r"], 0.0),
-                jnp.where(found, best["g"], 0.0),
-                jnp.where(found, best["b"], 0.0),
-            ],
-            axis=-1,
+            [acc["r"] * inv_w, acc["g"] * inv_w, acc["b"] * inv_w], axis=-1
         ),
-        vertex=jnp.stack(
-            [jnp.where(found, best["vx"], 0.0), jnp.where(found, best["vy"], 0.0), zed]
-        ),
-        conf=jnp.where(found, best["conf"], 0.0),
-        normal=jnp.stack(
-            [
-                jnp.where(found, best["nx"], 0.0),
-                jnp.where(found, best["ny"], 0.0),
-                jnp.where(found, best["nz"], 0.0),
-            ]
-        ),
-        radius=jnp.where(found, best["rad"], 0.0),
-        time=jnp.where(found, best["it"], 0.0),
+        vertex=jnp.stack([zed * lx, zed * ly, zed]),
+        conf=acc["conf"] * inv_w,
+        normal=jnp.stack([nx * nscale, ny * nscale, nz * nscale]),
+        radius=acc["rad"] * inv_w,
+        time=it_best,
         depth=zed,
     )
 

@@ -23,6 +23,7 @@ output, so there is no double-buffer copy at all.
 
 from __future__ import annotations
 
+import math
 from typing import NamedTuple, Tuple
 
 import jax
@@ -79,7 +80,7 @@ def pixel_confidence(x: jax.Array, y: jax.Array, weighting, cam: CameraConfig) -
     """Gaussian radial-falloff measurement confidence (surfels.glsl:36-46).
     The reference hardcodes maxRadDist=400 for 640x480; we derive it from the
     intrinsics so other resolutions behave identically."""
-    max_rad = float(jnp.sqrt(cam.cx * cam.cx + cam.cy * cam.cy))
+    max_rad = math.sqrt(cam.cx * cam.cx + cam.cy * cam.cy)
     two_sigma_sq = 0.72  # 2 * 0.6^2, from the paper
     r2 = ((x - cam.cx) ** 2 + (y - cam.cy) ** 2) / (max_rad * max_rad)
     return jnp.exp(-r2 / two_sigma_sq) * weighting
