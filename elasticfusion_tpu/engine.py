@@ -133,6 +133,57 @@ def _fuse_and_clean(
     return m3, stats
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
+def slam_step(
+    m: SurfelMap,
+    T_prev,            # (4,4) f32
+    so3_hist,          # coarsest-level intensity of previous frame
+    pred_vertex, pred_normal, pred_image,   # last frame's (filled) prediction
+    depth_mm, rgb,     # current raw frame
+    tick,              # f32 scalar
+    weighting,         # f32 scalar fusion weight
+    cfg: EngineConfig,
+):
+    """One whole SLAM frame as a single jitted device program: preprocess ->
+    track -> fuse -> clean -> predict(+fill-in).  This is the multi-chip
+    unit (sharded over the surfel axis via parallel/) and the minimum-
+    dispatch fast path; the Engine class adds the host-side orchestration
+    the jitted step can't hold (loop closures, relocalization control flow).
+
+    Returns (map', T_curr, so3_hist', (vertex, normal, image) fill-in,
+    prediction, dense_frac, tracking stats)."""
+    cam = cfg.camera
+    raw_m, filt_m = _preprocess(depth_mm, cfg)
+
+    res, so3_cur = _track(
+        pred_vertex, pred_normal, pred_image, filt_m, rgb, so3_hist, T_prev,
+        cfg, False,
+    )
+    T = res.T_curr
+
+    pred_idx = predict_indices(m, T, cam, tick, cfg.time_delta, cfg.max_depth_processed)
+    m, stats = fuse(
+        m, pred_idx, T, tick, rgb, raw_m, filt_m, cam,
+        cfg.max_depth_processed, weighting,
+    )
+    pred_idx2 = predict_indices(m, T, cam, tick, cfg.time_delta, cfg.max_depth_processed)
+    m = clean(
+        m, pred_idx2, T, tick, cam, cfg.confidence_threshold, cfg.time_delta,
+        cfg.max_depth_processed, cfg.unstable_age,
+    )
+
+    pred = combined_predict(
+        m, T, cam, tick, tick, cfg.time_delta, cfg.confidence_threshold,
+        cfg.max_depth_processed,
+    )
+    vtx, nrm, img = fill_all(
+        pred, filt_m, rgb, cam, cfg.max_depth_processed,
+        jnp.bool_(False), cfg.frame_to_frame_rgb,
+    )
+    dense = jnp.mean((jnp.sum(pred.image, axis=-1) > 0).astype(jnp.float32))
+    return m, T, so3_cur, (vtx, nrm, img), pred, dense, res
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def _coarse_intensity(rgb, cfg: EngineConfig):
     """Coarsest-level intensity pyramid of a frame (for next frame's SO3

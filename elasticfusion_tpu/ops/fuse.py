@@ -99,15 +99,19 @@ def fuse(
     ray_norm = lam  # |(xl, yl, 1)|
     best_dist = jnp.full((H, W), 1000.0)
     best_id = jnp.full((H, W), cap, jnp.int32)  # cap == no match
+    best_rad = jnp.zeros((H, W))
     index = pred.index
+
+    def shifted(img, dy, dx):
+        return jnp.roll(jnp.roll(img, -dy, axis=-2), -dx, axis=-1)
+
     for dy in (-1, 0, 1):
         for dx in (-1, 0, 1):
-            cand = jnp.roll(jnp.roll(index, -dy, axis=0), -dx, axis=1)
+            cand = shifted(index, dy, dx)
             inb = (vi + dy >= 0) & (vi + dy < H) & (ui + dx >= 0) & (ui + dx < W)
             cand = jnp.where(inb, cand, -1)
-            cid = jnp.clip(cand, 0, cap - 1).reshape(-1)
-            vc = jnp.take(pred.pos_c, cid, axis=1).reshape(3, H, W)
-            nc = jnp.take(pred.normal_c, cid, axis=1).reshape(3, H, W)
+            vc = shifted(pred.vert, dy, dx)
+            nc = shifted(pred.normal, dy, dx)
             has = cand >= 0
             # depth along ray agreement (data.vert:142)
             depth_ok = jnp.abs(vc[2] * lam - z * lam) < 0.05
@@ -126,6 +130,7 @@ def fuse(
             ok = has & depth_ok & norm_ok & (dist < best_dist)
             best_dist = jnp.where(ok, dist, best_dist)
             best_id = jnp.where(ok, cand, best_id)
+            best_rad = jnp.where(ok, shifted(pred.radius, dy, dx), best_rad)
 
     matched = measuring & (best_id < cap)
     new_pt = measuring & ~matched
@@ -137,9 +142,10 @@ def fuse(
     n_g = R @ n_local.reshape(3, -1)
 
     bid = jnp.where(matched, best_id, cap).reshape(-1)
-    old_rad_at = jnp.take(m.radius, jnp.clip(bid, 0, cap - 1))
     # radius gate (update.vert:61): merge geometry only if not much coarser
-    full_merge = matched.reshape(-1) & (rad_new.reshape(-1) < 1.5 * old_rad_at)
+    full_merge = matched.reshape(-1) & (
+        rad_new.reshape(-1) < 1.5 * best_rad.reshape(-1)
+    )
     a = jnp.where(matched.reshape(-1), conf_new.reshape(-1), 0.0)
     a_full = jnp.where(full_merge, a, 0.0)
 
@@ -242,6 +248,10 @@ def clean(
     count = jnp.zeros((cap,), jnp.float32)
     zcount = jnp.zeros((cap,), jnp.float32)
     index_flat = pred.index.reshape(-1)
+    vert_flat = pred.vert.reshape(3, -1)
+    conf_flat = pred.conf.reshape(-1)
+    it_flat = pred.init_t.reshape(-1)
+    lt_flat = pred.last_t.reshape(-1)
     for iy, wy in zip((-1, 0, 1), _W3):
         for ix, wx in zip((-1, 0, 1), _W3):
             w = wx * wy
@@ -250,14 +260,13 @@ def clean(
             inb = (qx >= 0) & (qx < W) & (qy >= 0) & (qy < H)
             flat = jnp.clip(qy, 0, H - 1) * W + jnp.clip(qx, 0, W - 1)
             cand = jnp.where(inb, jnp.take(index_flat, flat), -1)
-            cid = jnp.clip(cand, 0, cap - 1)
             has = (cand >= 0) & in_view
-            c_z = jnp.take(pred.pos_c[2], cid)
-            c_x = jnp.take(pred.pos_c[0], cid)
-            c_y = jnp.take(pred.pos_c[1], cid)
-            c_conf = jnp.take(m.conf, cid)
-            c_it = jnp.take(m.init_t, cid)
-            c_lt = jnp.take(m.last_t, cid)
+            c_z = jnp.take(vert_flat[2], flat)
+            c_x = jnp.take(vert_flat[0], flat)
+            c_y = jnp.take(vert_flat[1], flat)
+            c_conf = jnp.take(conf_flat, flat)
+            c_it = jnp.take(it_flat, flat)
+            c_lt = jnp.take(lt_flat, flat)
             stable = c_conf > conf_threshold
             behind_me = c_z > lp[2]
             dz = c_z - lp[2]

@@ -39,14 +39,19 @@ INVALID_ID = jnp.int32(2147483647)
 
 
 class IndexPrediction(NamedTuple):
-    """predictIndices output: per-pixel winning surfel id (-1 = empty) plus
-    the per-surfel camera-frame transforms, shared by fuse/clean consumers
-    (the reference's vertConf/colorTime/normRad MRTs, index_map.frag:31-37,
-    become gathers into these arrays)."""
+    """predictIndices output — the reference's index/vertConf/colorTime/
+    normRad MRTs (index_map.frag:31-37) as pixel-domain images.  Keeping
+    every attribute consumers need in pixel space (rather than N-indexed
+    gathers) is what makes fuse/clean local under surfel-axis sharding:
+    the images are replicated, the surfel arrays stay sharded."""
 
     index: jax.Array    # [H, W] i32 surfel id, -1 where empty
-    pos_c: jax.Array    # [3, N] camera-frame surfel positions
-    normal_c: jax.Array # [3, N] camera-frame surfel normals
+    vert: jax.Array     # [3, H, W] camera-frame surfel position
+    normal: jax.Array   # [3, H, W] camera-frame surfel normal
+    radius: jax.Array   # [H, W]
+    conf: jax.Array     # [H, W]
+    init_t: jax.Array   # [H, W] creation tick (colorTime.z)
+    last_t: jax.Array   # [H, W] last-seen tick (colorTime.w)
 
 
 class Prediction(NamedTuple):
@@ -118,8 +123,26 @@ def predict_indices(
     # index_map.vert:45: discard if z > maxDepth || z < 0 || time - last > delta
     gate = (pos_c[2] <= max_depth) & ((time - m.last_t) <= time_delta)
     winner = _point_raster(pos_c, gate, cam, live)
-    index = jnp.where(winner == INVALID_ID, -1, winner)
-    return IndexPrediction(index=index, pos_c=pos_c, normal_c=normal_c)
+
+    H, W = cam.height, cam.width
+    idx = jnp.clip(winner.reshape(-1), 0, N - 1)
+    empty = (winner == INVALID_ID).reshape(-1)
+
+    def g1(a):
+        return jnp.where(empty, 0.0, jnp.take(a, idx)).reshape(H, W)
+
+    def g3(a):
+        return jnp.where(empty[None], 0.0, jnp.take(a, idx, axis=1)).reshape(3, H, W)
+
+    return IndexPrediction(
+        index=jnp.where(winner == INVALID_ID, -1, winner),
+        vert=g3(pos_c),
+        normal=g3(normal_c),
+        radius=g1(m.radius),
+        conf=g1(m.conf),
+        init_t=g1(m.init_t),
+        last_t=g1(m.last_t),
+    )
 
 
 def _gather_surfel_channels(

@@ -66,7 +66,7 @@ def test_predict_indices_roundtrip(first_map, small_cam):
     # winning surfels' depth agrees with the frame depth
     raw_np = np.asarray(raw)
     have = idx >= 0
-    zc = np.asarray(pred.pos_c[2])[idx[have]]
+    zc = np.asarray(pred.vert[2])[have]
     assert np.median(np.abs(zc - raw_np[have])) < 0.02
 
 
