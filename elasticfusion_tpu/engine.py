@@ -108,6 +108,82 @@ def _track(
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
+def _predict_view(m: SurfelMap, T_wc, time, max_time, cfg: EngineConfig):
+    """Bare combinedPredict at explicit (time, maxTime) — used for the
+    INACTIVE model half (ElasticFusion.cpp:450-459)."""
+    return combined_predict(
+        m, T_wc, cfg.camera, time, max_time, cfg.time_delta,
+        cfg.confidence_threshold, cfg.max_depth_processed,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _model_to_model(
+    new_vertex, new_normal, new_image,
+    old_vertex, old_normal, old_image,
+    T_wc, cfg: EngineConfig,
+):
+    """modelToModel odometry: align the ACTIVE prediction against the
+    INACTIVE one (ElasticFusion.cpp:462-471; icpWeight=10, no SO3)."""
+    from .tracking import build_current_model_pyramids
+
+    m2m_cfg = cfg.with_(so3=False, icp_weight=10.0)
+    vmaps_c, nmaps_c, images_c, depths_c = build_current_model_pyramids(
+        new_vertex, new_normal, new_image, m2m_cfg
+    )
+    vmaps_g, nmaps_g, images_m, depths_m = build_model_pyramids(
+        old_vertex, old_normal, old_image, T_wc, m2m_cfg
+    )
+    inputs = OdometryInputs(
+        vmaps_curr=vmaps_c,
+        nmaps_curr=nmaps_c,
+        vmaps_prev_g=vmaps_g,
+        nmaps_prev_g=nmaps_g,
+        last_images=images_m,
+        next_images=images_c,
+        last_depths=depths_m,
+        next_depths=depths_c,
+        so3_last_image=images_c[m2m_cfg.num_pyramid_levels - 1],
+        T_prev=T_wc,
+    )
+    return get_incremental_transformation(inputs, m2m_cfg)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "fern_accepted"))
+def _fuse_and_clean_deformed(
+    m: SurfelMap, T_wc, tick, rgb, depth_raw_m, depth_filt_m, weighting,
+    graph, fern_accepted: bool, cfg: EngineConfig,
+):
+    """The fuse/clean path of a deformation tick: synthesize old-model depth
+    for timestamp refresh, apply the graph to every surfel inside clean
+    (ElasticFusion.cpp:554-585)."""
+    from .deformation import apply_graph_to_surfels
+
+    cam = cfg.camera
+    pred = predict_indices(m, T_wc, cam, tick, cfg.time_delta, cfg.max_depth_processed)
+    m2, stats = fuse(
+        m, pred, T_wc, tick, rgb, depth_raw_m, depth_filt_m, cam,
+        cfg.max_depth_processed, weighting,
+    )
+    pred2 = predict_indices(m2, T_wc, cam, tick, cfg.time_delta, cfg.max_depth_processed)
+    depth_synth = None
+    if not fern_accepted:
+        # time=tick, maxTime=tick-timeDelta, timeDelta=uint16-max (cpp:561-569)
+        depth_synth = synthesize_depth(
+            m2, T_wc, cam, tick, tick - cfg.time_delta, 65535,
+            cfg.confidence_threshold, cfg.max_depth_processed,
+        )
+    deformed_pos, deformed_nrm = apply_graph_to_surfels(m2, graph)
+    m3 = clean(
+        m2, pred2, T_wc, tick, cam, cfg.confidence_threshold, cfg.time_delta,
+        cfg.max_depth_processed, cfg.unstable_age,
+        depth_synth=depth_synth, deformed=deformed_pos,
+        deformed_normal=deformed_nrm, fern_accepted=fern_accepted,
+    )
+    return m3, stats
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
 def _fuse_and_clean(
     m: SurfelMap, T_wc, tick, rgb, depth_raw_m, depth_filt_m, weighting,
     cfg: EngineConfig,
@@ -221,7 +297,10 @@ class Engine:
         self.lost = False
         self.tracking_count = 0
         self.last_frame_recovery = False
-        self.poses: List[Tuple[int, np.ndarray]] = []   # (timestamp_us, T_wc)
+        # t_T_wc: tick-keyed pose graph (deformations rewrite it) + the
+        # parallel timestamp log (EF.cpp:588-589, 112-139)
+        self.tick_poses: List[Tuple[int, np.ndarray]] = []
+        self.pose_times: List[int] = []
         self.map: Optional[SurfelMap] = None
         self.stopwatch = Stopwatch()
         self.deforms = 0
@@ -232,16 +311,43 @@ class Engine:
         self._fill = None           # (vertex, normal, image) fill-in maps
         self._last_icp_error = 0.0
         self._last_icp_count = 0.0
-        # loop-closure subsystems attach here (ferns.py / deformation.py)
+        # loop-closure subsystems (ferns.py / deformation.py)
         self.ferns = None
         self.local_deformation = None
         self.global_deformation = None
         self.relative_cons: list = []
+        self._pending_graph = None    # GraphState to apply in this tick's clean
+        self._fern_accepted = False
+        if cfg.closeLoops:
+            self.enable_loop_closure()
+
+    def enable_loop_closure(self) -> None:
+        """Construct the fern DB and the two deformations (local graph sampled
+        from the map, global resampled 1/5 — ElasticFusion.h:259-266)."""
+        from .deformation import Deformation
+        from .ferns import Ferns
+
+        self.ferns = Ferns(self.cfg)
+        self.local_deformation = Deformation(
+            node_capacity=self.cfg.max_deformation_nodes,
+            sample_rate=self.cfg.def_graph_sample_rate,
+        )
+        self.global_deformation = Deformation(
+            node_capacity=self.cfg.max_deformation_nodes,
+            sample_rate=self.cfg.def_graph_sample_rate,
+        )
 
     # -- public knobs (reference getters/setters, ElasticFusion.h:87-255) ----
     @property
     def surfel_count(self) -> int:
         return 0 if self.map is None else int(self.map.count)
+
+    @property
+    def poses(self) -> List[Tuple[int, np.ndarray]]:
+        """Timestamped (possibly deformation-corrected) trajectory."""
+        return [
+            (ts, T) for ts, (_, T) in zip(self.pose_times, self.tick_poses)
+        ]
 
     def process_frame(
         self,
@@ -323,14 +429,23 @@ class Engine:
 
             if (not cfg.rgb_only) and tracking_ok and not self.lost:
                 sw.tick("Fuse")
-                self.map, stats = _fuse_and_clean(
-                    self.map, T_dev, tick_dev, rgb_d, raw_m, filt_m,
-                    jnp.float32(weighting), cfg,
-                )
+                if self._pending_graph is not None:
+                    self.map, stats = _fuse_and_clean_deformed(
+                        self.map, T_dev, tick_dev, rgb_d, raw_m, filt_m,
+                        jnp.float32(weighting), self._pending_graph,
+                        self._fern_accepted, cfg,
+                    )
+                else:
+                    self.map, stats = _fuse_and_clean(
+                        self.map, T_dev, tick_dev, rgb_d, raw_m, filt_m,
+                        jnp.float32(weighting), cfg,
+                    )
                 sw.tock("Fuse")
                 fused = True
+        self._pending_graph = None
 
-        self.poses.append((int(timestamp), self.T_wc.copy()))
+        self.tick_poses.append((self.tick, self.T_wc.copy()))
+        self.pose_times.append(int(timestamp))
 
         # sample deformation graph nodes from the map (cpp:591-597)
         if self.local_deformation is not None:
@@ -395,9 +510,111 @@ class Engine:
         return tracking_ok and cov_ok
 
     def _close_loops(self, T_dev, filt_m, rgb_d):
-        """Global (fern) + local (model-to-model) loop closure hook — wired
-        in by attach_loop_closure() in closeloop.py."""
-        pass
+        """Global (fern) + local (model-to-model) loop closure
+        (ElasticFusion.cpp:391-534)."""
+        from .ferns import SurfaceConstraint
+
+        cfg = self.cfg
+        sw = self.stopwatch
+        self._pending_graph = None
+        self._fern_accepted = False
+        self.last_frame_recovery = False
+        vtx, nrm, img = self._fill
+
+        # --- global: fern retrieval (cpp:394-404) ---
+        sw.tick("Ferns::findFrame")
+        recovery, constraints = self.ferns.find_frame(
+            img, vtx, nrm, self.T_wc, self.tick, self.lost
+        )
+        sw.tock("Ferns::findFrame")
+
+        if self.ferns.last_closest != -1:
+            if self.lost:
+                # teleport relocalization (cpp:411-413)
+                self.T_wc = np_orthonormalize(np.asarray(recovery, np.float64))
+                self.last_frame_recovery = True
+                return
+            gd = self.global_deformation
+            fern_time = self.ferns.frames[self.ferns.last_closest].src_time
+            for c in constraints:
+                gd.add_constraint(
+                    c.source_point, c.target_point, self.tick, fern_time, pin=True
+                )
+            for rc in self.relative_cons:
+                gd.constraints.append(rc)
+            fern_poses = [(f.src_time, f.T_wc) for f in self.ferns.frames]
+            ok, new_fern_poses, new_hist, _ = gd.constrain(
+                fern_poses, self.tick, fern_match=True,
+                pose_history=self.tick_poses, relax_graph=True,
+            )
+            if ok:
+                self.T_wc = np_orthonormalize(np.asarray(recovery, np.float64))
+                for f, (_, T) in zip(self.ferns.frames, new_fern_poses):
+                    f.T_wc = T
+                self.tick_poses = new_hist
+                self.fern_deforms += 1
+                self._pending_graph = gd.graph
+                self._fern_accepted = True
+                return
+
+        # --- local: active-to-inactive model alignment (cpp:447-534) ---
+        if self.lost or self._pred is None:
+            return
+        sw.tick("IndexMap::INACTIVE")
+        old_pred = _predict_view(
+            self.map, jnp.asarray(self.T_wc, jnp.float32),
+            jnp.float32(0.0), jnp.float32(self.tick - cfg.time_delta), cfg,
+        )
+        sw.tock("IndexMap::INACTIVE")
+        if float(jnp.sum(old_pred.depth > 0)) < 1:
+            return
+
+        res = _model_to_model(
+            self._pred.vertex, self._pred.normal, self._pred.image,
+            old_pred.vertex, old_pred.normal, old_pred.image,
+            jnp.asarray(self.T_wc, jnp.float32), cfg,
+        )
+        if not _covariance_ok(np.asarray(res.A, np.float64), cfg.cov_threshold):
+            return
+        if not (float(res.icp_count) > cfg.icp_count_threshold
+                and float(res.icp_error) < cfg.icp_error_threshold):
+            return
+        T_est = np_orthonormalize(np.asarray(res.T_curr, np.float64))
+
+        # constraints from consSample=20 subsampled pixels (cpp:485-511)
+        CONS_SAMPLE = 20
+        pv = np.asarray(self._pred.vertex)[:, ::CONS_SAMPLE, ::CONS_SAMPLE]
+        ot = np.asarray(old_pred.time)[::CONS_SAMPLE, ::CONS_SAMPLE]
+        z_ok = (pv[2] > 0) & (pv[2] < cfg.max_depth_processed) & (ot > 0)
+        ld = self.local_deformation
+        pin = ld.deforms == 0
+        srcs = (self.T_wc[:3, :3] @ pv.reshape(3, -1) + self.T_wc[:3, 3:4])
+        tgts = (T_est[:3, :3] @ pv.reshape(3, -1) + T_est[:3, 3:4])
+        flat_ok = z_ok.reshape(-1)
+        flat_ot = ot.reshape(-1)
+        for i in np.nonzero(flat_ok)[0]:
+            ld.add_constraint(
+                srcs[:, i], tgts[:, i], self.tick, int(flat_ot[i]), pin=pin
+            )
+        if not ld.constraints:
+            return
+
+        fern_poses = [(f.src_time, f.T_wc) for f in self.ferns.frames]
+        ok, new_fern_poses, _, new_rel = ld.constrain(
+            fern_poses, self.tick, fern_match=False,
+            pose_history=self.tick_poses, relax_graph=False,
+            collect_relative=True,
+        )
+        if ok:
+            for f, (_, T) in zip(self.ferns.frames, new_fern_poses):
+                f.T_wc = T
+            self.T_wc = T_est
+            self.deforms += 1
+            self._pending_graph = ld.graph
+            # carry forward a third of the new relative constraints (cpp:529-531)
+            if new_rel:
+                step = max(len(new_rel) // 3, 1)
+                self.relative_cons.extend(new_rel[::step])
 
     # -- outputs -------------------------------------------------------------
 

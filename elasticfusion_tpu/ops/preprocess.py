@@ -205,6 +205,9 @@ def resize_nmap(nmap: jax.Array) -> jax.Array:
 
 
 def _resize_map(m: jax.Array, normalize: bool) -> jax.Array:
+    # crop odd trailing row/col (fern-resolution images can be odd-sized)
+    H2, W2 = (m.shape[1] // 2) * 2, (m.shape[2] // 2) * 2
+    m = m[:, :H2, :W2]
     x00 = m[:, 0::2, 0::2]
     x01 = m[:, 0::2, 1::2]
     x10 = m[:, 1::2, 0::2]

@@ -329,11 +329,10 @@ def get_incremental_transformation(
 
     Rcurr, tcurr = carry["Rcurr"], carry["tcurr"]
 
-    # sanity clamp (cpp:555-558)
-    if rgb_on:
-        bad = jnp.linalg.norm(tcurr - tprev) > cfg.translation_sanity
-        Rcurr = jnp.where(bad, Rprev, Rcurr)
-        tcurr = jnp.where(bad, tprev, tcurr)
+    # sanity clamp — unconditional in the reference (cpp:553-558)
+    bad = jnp.linalg.norm(tcurr - tprev) > cfg.translation_sanity
+    Rcurr = jnp.where(bad, Rprev, Rcurr)
+    tcurr = jnp.where(bad, tprev, tcurr)
 
     T_curr = (
         jnp.eye(4, dtype=jnp.float32).at[:3, :3].set(Rcurr).at[:3, 3].set(tcurr)
@@ -383,6 +382,30 @@ def build_current_frame_pyramids(
     for _ in range(1, cfg.num_pyramid_levels):
         intens.append(pyr_down_intensity(intens[-1]))
     return vmaps, nmaps, tuple(intens), tuple(depths)
+
+
+def build_current_model_pyramids(
+    pred_vmap: jax.Array,     # (3,H,W) predicted vertices, CAMERA frame
+    pred_nmap: jax.Array,
+    pred_image: jax.Array,    # (H,W,3) predicted RGB
+    cfg: EngineConfig,
+):
+    """initICP(predictedVertices, predictedNormals) + initRGB equivalent for
+    the CURRENT side of model-to-model odometry (RGBDOdometry.cpp:149-173,
+    212-244): the 'current frame' is itself a map prediction, so vmaps come
+    from resize (not depth pyrDown) and depths from verticesToDepth."""
+    vmaps = [pred_vmap]
+    nmaps = [pred_nmap]
+    for _ in range(1, cfg.num_pyramid_levels):
+        vmaps.append(resize_vmap(vmaps[-1]))
+        nmaps.append(resize_nmap(nmaps[-1]))
+    depths = [vertices_to_depth(pred_vmap)]
+    for _ in range(1, cfg.num_pyramid_levels):
+        depths.append(pyr_down_gauss(depths[-1]))
+    intens = [rgb_to_intensity(pred_image)]
+    for _ in range(1, cfg.num_pyramid_levels):
+        intens.append(pyr_down_intensity(intens[-1]))
+    return tuple(vmaps), tuple(nmaps), tuple(intens), tuple(depths)
 
 
 def build_model_pyramids(
