@@ -42,6 +42,108 @@ def _decode_jpeg(buf: bytes) -> np.ndarray:
     return np.asarray(Image.open(_io.BytesIO(buf)).convert("RGB"))
 
 
+# --- native decoder (native/klg_decoder.cpp), loaded lazily --------------
+
+
+_NATIVE = None
+_NATIVE_TRIED = False
+
+
+def _native_lib():
+    global _NATIVE, _NATIVE_TRIED
+    if _NATIVE_TRIED:
+        return _NATIVE
+    _NATIVE_TRIED = True
+    import ctypes
+
+    so = Path(__file__).resolve().parents[2] / "native" / "libefklg.so"
+    if not so.exists():
+        return None
+    try:
+        lib = ctypes.CDLL(str(so))
+    except OSError:
+        return None
+    lib.ef_klg_open.restype = ctypes.c_void_p
+    lib.ef_klg_open.argtypes = [ctypes.c_char_p, ctypes.c_int, ctypes.c_int]
+    lib.ef_klg_num_frames.restype = ctypes.c_int
+    lib.ef_klg_num_frames.argtypes = [ctypes.c_void_p]
+    lib.ef_klg_read.restype = ctypes.c_int
+    lib.ef_klg_read.argtypes = [
+        ctypes.c_void_p, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint16), ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_int64),
+    ]
+    lib.ef_klg_close.argtypes = [ctypes.c_void_p]
+    _NATIVE = lib
+    return lib
+
+
+class NativeKlgLogReader:
+    """mmap-indexed C++ decode path (native/klg_decoder.cpp): O(1) seek,
+    zlib + libjpeg in native code — the runtime analog of the reference's
+    RawLogReader + JPEGLoader."""
+
+    def __init__(self, path: str | Path, width: int = 640, height: int = 480):
+        import ctypes
+
+        self._ct = ctypes
+        lib = _native_lib()
+        if lib is None:
+            raise RuntimeError("native decoder not built (make -C native)")
+        self._lib = lib
+        self.path = Path(path)
+        self.width = width
+        self.height = height
+        self._h = lib.ef_klg_open(str(self.path).encode(), width, height)
+        if not self._h:
+            raise IOError(f"cannot open {path}")
+        self.num_frames = lib.ef_klg_num_frames(self._h)
+        self._i = 0
+
+    def has_more(self) -> bool:
+        return self._i < self.num_frames
+
+    def get_next(self) -> Frame:
+        if not self.has_more():
+            raise EOFError(f"{self.path}: no more frames ({self.num_frames})")
+        ct = self._ct
+        depth = np.empty((self.height, self.width), np.uint16)
+        rgb = np.empty((self.height, self.width, 3), np.uint8)
+        ts = ct.c_int64()
+        rc = self._lib.ef_klg_read(
+            self._h, self._i,
+            depth.ctypes.data_as(ct.POINTER(ct.c_uint16)),
+            rgb.ctypes.data_as(ct.POINTER(ct.c_uint8)),
+            ct.byref(ts),
+        )
+        if rc != 0:
+            raise EOFError(f"{self.path}: decode error {rc} at frame {self._i}")
+        self._i += 1
+        return Frame(timestamp=ts.value, depth_mm=depth, rgb=rgb)
+
+    def rewind(self) -> None:
+        self._i = 0
+
+    def fast_forward(self, frame: int) -> None:
+        self._i = min(frame, self.num_frames)
+
+    def __iter__(self) -> Iterator[Frame]:
+        while self.has_more():
+            yield self.get_next()
+
+    def close(self) -> None:
+        if self._h:
+            self._lib.ef_klg_close(self._h)
+            self._h = None
+
+
+def open_klg(path: str | Path, width: int = 640, height: int = 480):
+    """Open a .klg with the native decoder when built, else pure Python."""
+    if _native_lib() is not None:
+        return NativeKlgLogReader(path, width, height)
+    return KlgLogReader(path, width, height)
+
+
 class KlgLogReader:
     """Sequential .klg reader with the LogReader surface
     (LogReader.h:31-89: getNext/hasMore/rewind/fastForward/getNumFrames)."""
