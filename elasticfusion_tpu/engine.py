@@ -55,11 +55,38 @@ def _preprocess(depth_mm, cfg: EngineConfig):
     )
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def _init_map(depth_raw_m, depth_filt_m, rgb, cfg: EngineConfig) -> SurfelMap:
+@functools.partial(jax.jit, static_argnames=("cfg", "capacity"))
+def _init_map(depth_raw_m, depth_filt_m, rgb, cfg: EngineConfig,
+              capacity: int) -> SurfelMap:
     return init_map_from_frame(
-        cfg.max_surfels, depth_raw_m, depth_filt_m, rgb, cfg.camera,
+        capacity, depth_raw_m, depth_filt_m, rgb, cfg.camera,
         cfg.depth_cutoff,
+    )
+
+
+def _next_bucket(n: int, cap: int) -> int:
+    """Capacity buckets: per-surfel ops cost O(array size), so the map lives
+    in the smallest power-of-two arrays that fit (SURVEY.md §7 'capacity
+    buckets'), growing toward cfg.max_surfels.  Each growth recompiles the
+    jitted steps once for the new shape."""
+    b = 1 << 16
+    while b < n:
+        b <<= 1
+    return min(b, cap)
+
+
+@functools.partial(jax.jit, static_argnames=("capacity",))
+def _grow_map(m: SurfelMap, capacity: int) -> SurfelMap:
+    pad = capacity - m.capacity
+    return SurfelMap(
+        pos=jnp.pad(m.pos, ((0, 0), (0, pad))),
+        conf=jnp.pad(m.conf, (0, pad)),
+        color=jnp.pad(m.color, ((0, 0), (0, pad))),
+        init_t=jnp.pad(m.init_t, (0, pad)),
+        last_t=jnp.pad(m.last_t, (0, pad)),
+        normal=jnp.pad(m.normal, ((0, 0), (0, pad))),
+        radius=jnp.pad(m.radius, (0, pad)),
+        count=m.count,
     )
 
 
@@ -371,12 +398,24 @@ class Engine:
         tracking_ok = True
 
         if self.tick == 1:
-            self.map = _init_map(raw_m, filt_m, rgb_d, cfg)
+            n_px = cfg.camera.width * cfg.camera.height
+            cap0 = _next_bucket(2 * n_px, cfg.max_surfels)
+            self.map = _init_map(raw_m, filt_m, rgb_d, cfg, cap0)
             self._so3_hist = _coarse_intensity(rgb_d, cfg)  # initFirstRGB
             if in_T_wc is not None:
                 self.T_wc = np.asarray(in_T_wc, np.float64)
         else:
             T_prev = self.T_wc.copy()
+
+            # after a checkpoint restore there is no carried prediction yet:
+            # regenerate it from the restored map at the restored pose
+            if self._pred is None:
+                self._run_predict(
+                    jnp.asarray(self.T_wc, jnp.float32), jnp.float32(self.tick),
+                    filt_m, rgb_d,
+                )
+            if self._so3_hist is None:
+                self._so3_hist = _coarse_intensity(rgb_d, cfg)
 
             if in_T_wc is None:
                 # tracking against last frame's prediction (or its fill-in)
@@ -442,6 +481,14 @@ class Engine:
                     )
                 sw.tock("Fuse")
                 fused = True
+                # grow to the next capacity bucket before it can overflow
+                # (fuse appends at most n_px/4 surfels per frame)
+                cap = self.map.capacity
+                if (cap < cfg.max_surfels
+                        and int(self.map.count) > 0.75 * cap):
+                    self.map = _grow_map(
+                        self.map, _next_bucket(2 * cap, cfg.max_surfels)
+                    )
         self._pending_graph = None
 
         self.tick_poses.append((self.tick, self.T_wc.copy()))
