@@ -41,6 +41,7 @@ from ..surfels import (
     pixel_confidence,
     surfel_radius,
 )
+from .gatherpack import packed_gather
 from .splat import IndexPrediction
 
 # clean()'s 3x3 window weights — the pixel-aliasing multiplicity of the
@@ -247,11 +248,6 @@ def clean(
 
     count = jnp.zeros((cap,), jnp.float32)
     zcount = jnp.zeros((cap,), jnp.float32)
-    index_flat = pred.index.reshape(-1)
-    vert_flat = pred.vert.reshape(3, -1)
-    conf_flat = pred.conf.reshape(-1)
-    it_flat = pred.init_t.reshape(-1)
-    lt_flat = pred.last_t.reshape(-1)
     for iy, wy in zip((-1, 0, 1), _W3):
         for ix, wx in zip((-1, 0, 1), _W3):
             w = wx * wy
@@ -259,14 +255,13 @@ def clean(
             qy = py + iy
             inb = (qx >= 0) & (qx < W) & (qy >= 0) & (qy < H)
             flat = jnp.clip(qy, 0, H - 1) * W + jnp.clip(qx, 0, W - 1)
-            cand = jnp.where(inb, jnp.take(index_flat, flat), -1)
+            cand, c_z, c_x, c_y, c_conf, c_it, c_lt = packed_gather(
+                (pred.index, pred.vert[2], pred.vert[0], pred.vert[1],
+                 pred.conf, pred.init_t, pred.last_t),
+                flat,
+            )
+            cand = jnp.where(inb, cand, -1)
             has = (cand >= 0) & in_view
-            c_z = jnp.take(vert_flat[2], flat)
-            c_x = jnp.take(vert_flat[0], flat)
-            c_y = jnp.take(vert_flat[1], flat)
-            c_conf = jnp.take(conf_flat, flat)
-            c_it = jnp.take(it_flat, flat)
-            c_lt = jnp.take(lt_flat, flat)
             stable = c_conf > conf_threshold
             behind_me = c_z > lp[2]
             dz = c_z - lp[2]
@@ -309,7 +304,7 @@ def clean(
             flat = jnp.clip(y2.astype(jnp.int32), 0, H - 1) * W + jnp.clip(
                 x2.astype(jnp.int32), 0, W - 1
             )
-            d = jnp.take(depth_synth.reshape(-1), flat)
+            (d,) = packed_gather((depth_synth,), flat)
             refresh = (
                 (m.conf > conf_threshold) & ~fresh & inb & (d > 0) & (lp2[2] < d + 0.1)
             )

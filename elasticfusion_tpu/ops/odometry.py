@@ -23,6 +23,7 @@ from typing import NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
+from .gatherpack import gather_packed, pack_channels, packed_gather
 from .preprocess import SOBEL_SCALE
 
 
@@ -58,6 +59,24 @@ def _flat_gather(img: jax.Array, flat_idx: jax.Array) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 
+def icp_prev_table(vmap_g_prev: jax.Array, nmap_g_prev: jax.Array):
+    """Pack the (loop-invariant) model vertex+normal maps for icp_step."""
+    return pack_channels(
+        (vmap_g_prev[0], vmap_g_prev[1], vmap_g_prev[2],
+         nmap_g_prev[0], nmap_g_prev[1], nmap_g_prev[2])
+    )
+
+
+def rgb_last_table(last_depth: jax.Array, last_image: jax.Array):
+    """Pack the (loop-invariant) last depth+intensity for compute_rgb_residual."""
+    return pack_channels((last_depth, last_image))
+
+
+def rgb_cloud_table(cloud: jax.Array):
+    """Pack the (loop-invariant) back-projected last cloud for rgb_step."""
+    return pack_channels((cloud[0], cloud[1], cloud[2]))
+
+
 def icp_step(
     T_curr: jax.Array,       # (4,4) current world←camera estimate
     vmap_curr: jax.Array,    # (3,H,W) current frame camera-space vertices
@@ -68,6 +87,7 @@ def icp_step(
     fx: float, fy: float, cx: float, cy: float,
     dist_thresh: float = 0.10,
     angle_thresh_sin: float = 0.342020143,
+    prev_table=None,   # pack_channels((v0,v1,v2,n0,n1,n2)) of the model maps
 ) -> Gram:
     """Point-to-plane ICP rows against the predicted model maps.
 
@@ -98,8 +118,11 @@ def icp_step(
     in_img = (u_proj >= 0) & (v_proj >= 0) & (u_proj < W) & (v_proj < H) & (z >= 0)
 
     flat = jnp.clip(v_proj, 0, H - 1) * W + jnp.clip(u_proj, 0, W - 1)
-    vprev_g = _flat_gather(vmap_g_prev, flat)
-    nprev_g = _flat_gather(nmap_g_prev, flat)
+    if prev_table is None:
+        prev_table = icp_prev_table(vmap_g_prev, nmap_g_prev)
+    ch = gather_packed(prev_table, flat)
+    vprev_g = jnp.stack(ch[0:3])
+    nprev_g = jnp.stack(ch[3:6])
     prev_valid = (jnp.sum(vprev_g * vprev_g, axis=0) > 0) & (
         jnp.sum(nprev_g * nprev_g, axis=0) > 1e-12
     )
@@ -152,6 +175,7 @@ def compute_rgb_residual(
     kt: jax.Array,         # (3,) K·t of inverse incremental transform
     krkinv: jax.Array,     # (3,3) K·R·K⁻¹
     max_depth_delta: float = 0.07,
+    last_table=None,       # rgb_last_table(last_depth, last_image)
 ) -> RgbCorrespondence:
     """Dense photometric correspondence via depth-consistent reprojection,
     mirroring RGBResidual::getProducts (reduce.cu:636-716)."""
@@ -194,8 +218,9 @@ def compute_rgb_residual(
     in_img = (u0 >= 0) & (v0 >= 0) & (u0 < W) & (v0 < H)
 
     flat0 = jnp.clip(v0, 0, H - 1) * W + jnp.clip(u0, 0, W - 1)
-    d0 = _flat_gather(last_depth, flat0)
-    last_i = _flat_gather(last_image, flat0)
+    if last_table is None:
+        last_table = rgb_last_table(last_depth, last_image)
+    d0, last_i = gather_packed(last_table, flat0)
     match_ok = (d0 > 0) & (jnp.abs(td1 - d0) <= max_depth_delta) & (last_i != 0)
 
     valid = nb_ok & bounds & grad_ok & depth_ok & in_img & match_ok
@@ -216,6 +241,7 @@ def rgb_step(
     cloud: jax.Array,           # (3,H,W) back-projected lastDepth (level intr.)
     fx: float, fy: float,
     dIdx: jax.Array, dIdy: jax.Array,
+    cloud_table=None,      # rgb_cloud_table(cloud)
 ) -> Gram:
     """Photometric Jacobian rows, mirroring RGBReduction::getProducts
     (reduce.cu:420-478): gradients read at the *next*-image pixel, the 3D
@@ -229,7 +255,9 @@ def rgb_step(
     w = jnp.where(sigma == -1.0, 1.0, w)
 
     flat0 = jnp.clip(corres.v0, 0, H - 1) * W + jnp.clip(corres.u0, 0, W - 1)
-    p = _flat_gather(cloud, flat0)        # (3,N) cloud point at (v0,u0)
+    if cloud_table is None:
+        cloud_table = rgb_cloud_table(cloud)
+    p = jnp.stack(gather_packed(cloud_table, flat0))
     safe_z = jnp.where(jnp.abs(p[2]) > 1e-12, p[2], 1.0)
     invz = 1.0 / safe_z
 
@@ -267,12 +295,25 @@ class GramSO3(NamedTuple):
     count: jax.Array
 
 
+def so3_neighborhood_table(img: jax.Array):
+    """Pack (img, x-1, x+1, y-1, y+1) shifted channels for so3_step —
+    interior-only indices make pixel-domain rolls exact."""
+    return pack_channels(
+        (
+            img,
+            jnp.roll(img, 1, axis=1), jnp.roll(img, -1, axis=1),
+            jnp.roll(img, 1, axis=0), jnp.roll(img, -1, axis=0),
+        )
+    )
+
+
 def so3_step(
     last_image: jax.Array,   # (H,W) float intensity
     next_image: jax.Array,
     image_basis: jax.Array,  # (3,3) K R K⁻¹
     kinv: jax.Array,         # (3,3)
     krlr: jax.Array,         # (3,3) K R
+    tables=None,             # (so3_neighborhood_table(next), ...(last))
 ) -> GramSO3:
     """Whole-image rotation-only Lucas-Kanade step, mirroring
     SO3Reduction::getProducts (reduce.cu:820-896).  Gradients are central
@@ -299,21 +340,21 @@ def so3_step(
     wxc = jnp.clip(wx, 1, W - 2)
     wyc = jnp.clip(wy, 1, H - 2)
     flat_w = wyc * W + wxc
-    img_flat = next_image.reshape(N)
-    last_flat = last_image.reshape(N)
 
-    def grad_at(img, flat, w_stride):
-        back_x = jnp.take(img, flat - 1)
-        fore_x = jnp.take(img, flat + 1)
-        back_y = jnp.take(img, flat - w_stride)
-        fore_y = jnp.take(img, flat + w_stride)
-        return (back_x - fore_x) * 0.5, (back_y - fore_y) * 0.5
-
-    gnx, gny = grad_at(img_flat, flat_w, W)
+    if tables is None:
+        tables = (so3_neighborhood_table(next_image),
+                  so3_neighborhood_table(last_image))
+    next_table, last_table = tables
+    n_at, n_xm, n_xp, n_ym, n_yp = gather_packed(next_table, flat_w)
     xc = jnp.clip(xi, 1, W - 2)
     yc = jnp.clip(yi, 1, H - 2)
     flat_l = yc * W + xc
-    glx, gly = grad_at(last_flat, flat_l, W)
+    l_at, l_xm, l_xp, l_ym, l_yp = gather_packed(last_table, flat_l)
+
+    gnx = (n_xm - n_xp) * 0.5
+    gny = (n_ym - n_yp) * 0.5
+    glx = (l_xm - l_xp) * 0.5
+    gly = (l_ym - l_yp) * 0.5
 
     gx = (gnx + glx) * 0.5
     gy = (gny + gly) * 0.5
@@ -333,7 +374,7 @@ def so3_step(
         axis=0,
     )
     jac = jnp.cross(lp, point, axis=0)                       # (3,N)
-    resid = -(jnp.take(img_flat, flat_w) - jnp.take(last_flat, flat_l))
+    resid = -(n_at - l_at)
 
     rows = jnp.concatenate([jac, resid[None]], axis=0).T     # (N,4)
     rows = jnp.where(found[:, None], rows, 0.0)

@@ -34,6 +34,7 @@ import jax.numpy as jnp
 
 from ..config import CameraConfig
 from ..surfels import SurfelMap
+from .gatherpack import packed_gather
 
 INVALID_ID = jnp.int32(2147483647)
 
@@ -97,7 +98,7 @@ def _point_raster(
     zbuf = jnp.full((H * W,), big, jnp.float32).at[pix].min(
         jnp.where(ok, z, big), mode="drop"
     )
-    z_at = zbuf[jnp.clip(pix, 0, H * W - 1)]
+    (z_at,) = packed_gather((zbuf,), jnp.clip(pix, 0, H * W - 1))
     ids = jax.lax.broadcasted_iota(jnp.int32, (N, 1), 0).squeeze(-1)
     cand = jnp.where(ok & (z <= z_at), ids, INVALID_ID)
     winner = jnp.full((H * W,), INVALID_ID, jnp.int32).at[pix].min(cand, mode="drop")
@@ -128,20 +129,21 @@ def predict_indices(
     idx = jnp.clip(winner.reshape(-1), 0, N - 1)
     empty = (winner == INVALID_ID).reshape(-1)
 
-    def g1(a):
-        return jnp.where(empty, 0.0, jnp.take(a, idx)).reshape(H, W)
-
-    def g3(a):
-        return jnp.where(empty[None], 0.0, jnp.take(a, idx, axis=1)).reshape(3, H, W)
+    ch = packed_gather(
+        (pos_c[0], pos_c[1], pos_c[2], normal_c[0], normal_c[1], normal_c[2],
+         m.radius, m.conf, m.init_t, m.last_t),
+        idx,
+    )
+    ch = [jnp.where(empty, 0.0, c).reshape(H, W) for c in ch]
 
     return IndexPrediction(
         index=jnp.where(winner == INVALID_ID, -1, winner),
-        vert=g3(pos_c),
-        normal=g3(normal_c),
-        radius=g1(m.radius),
-        conf=g1(m.conf),
-        init_t=g1(m.init_t),
-        last_t=g1(m.last_t),
+        vert=jnp.stack(ch[0:3]),
+        normal=jnp.stack(ch[3:6]),
+        radius=ch[6],
+        conf=ch[7],
+        init_t=ch[8],
+        last_t=ch[9],
     )
 
 
@@ -154,19 +156,20 @@ def _gather_surfel_channels(
     idx = jnp.clip(pid.reshape(-1), 0, m.capacity - 1)
     empty = (pid == INVALID_ID).reshape(-1)
 
-    def g1(a):
-        return jnp.where(empty, 0.0, jnp.take(a, idx)).reshape(H, W)
-
-    def g3(a):
-        return jnp.where(empty[None], 0.0, jnp.take(a, idx, axis=1)).reshape(3, H, W)
+    ch = packed_gather(
+        (pos_c[0], pos_c[1], pos_c[2], normal_c[0], normal_c[1], normal_c[2],
+         m.radius, m.conf, m.color[0], m.color[1], m.color[2], m.init_t),
+        idx,
+    )
+    ch = [jnp.where(empty, 0.0, c).reshape(H, W) for c in ch]
 
     return dict(
-        p=g3(pos_c),
-        n=g3(normal_c),
-        rad=g1(m.radius),
-        conf=g1(m.conf),
-        col=g3(m.color),
-        it=g1(m.init_t),
+        p=jnp.stack(ch[0:3]),
+        n=jnp.stack(ch[3:6]),
+        rad=ch[6],
+        conf=ch[7],
+        col=jnp.stack(ch[8:11]),
+        it=ch[11],
         empty=empty.reshape(H, W),
     )
 

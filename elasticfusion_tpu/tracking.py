@@ -24,9 +24,13 @@ from .config import CameraConfig, EngineConfig
 from .ops.odometry import (
     Gram,
     compute_rgb_residual,
+    icp_prev_table,
     icp_step,
     project_to_point_cloud,
+    rgb_cloud_table,
+    rgb_last_table,
     rgb_step,
+    so3_neighborhood_table,
     so3_step,
     solve_6x6,
 )
@@ -101,6 +105,7 @@ def _so3_prealign(
     convergence/divergence guards carried through a while_loop."""
     K, Kinv = _K_mats(cam, 2)
     big = jnp.float32(3.4e38 / 2)
+    tables = (so3_neighborhood_table(next_img), so3_neighborhood_table(last_img))
 
     def cond(state):
         i, done, *_ = state
@@ -110,7 +115,7 @@ def _so3_prealign(
         i, done, resultR, lastResultR, lastError, lastCount, so3e, so3c = state
         basis = K @ resultR @ Kinv
         krlr = K @ resultR
-        G = so3_step(last_img, next_img, basis, Kinv, krlr)
+        G = so3_step(last_img, next_img, basis, Kinv, krlr, tables=tables)
         count = jnp.maximum(G.count, 1.0)
         err = jnp.sqrt(G.sum_sq) / count
 
@@ -217,8 +222,21 @@ def get_incremental_transformation(
         dIdx, dIdy = derivs[lvl]
         min_grad2 = (cfg.rgb_grad_thresholds[lvl]) / (SOBEL_SCALE * SOBEL_SCALE)
 
+        # loop-invariant packed gather tables (hoisted out of the GN body)
+        prev_table = (
+            icp_prev_table(inputs.vmaps_prev_g[lvl], inputs.nmaps_prev_g[lvl])
+            if icp_on else None
+        )
+        last_table = (
+            rgb_last_table(inputs.last_depths[lvl], inputs.last_images[lvl])
+            if rgb_on else None
+        )
+        cloud_table = rgb_cloud_table(cloud) if rgb_on else None
+
         def gn_iter(_, carry, lvl=lvl, K=K, Kinv=Kinv, cloud=cloud,
-                    dIdx=dIdx, dIdy=dIdy, min_grad2=min_grad2, c=c):
+                    dIdx=dIdx, dIdy=dIdy, min_grad2=min_grad2, c=c,
+                    prev_table=prev_table, last_table=last_table,
+                    cloud_table=cloud_table):
             prev = dict(carry)
             # per-level divergence reference (cpp:406: reset to FLT_MAX)
             lastRGBError = carry["rgb_err_break"]
@@ -234,6 +252,7 @@ def get_incremental_transformation(
                     inputs.last_depths[lvl], inputs.next_depths[lvl],
                     inputs.last_images[lvl], inputs.next_images[lvl],
                     kt, krkinv,
+                    last_table=last_table,
                 )
                 sigma = corres.sigma_sum
                 rgb_size = corres.count
@@ -269,6 +288,7 @@ def get_incremental_transformation(
                     inputs.vmaps_prev_g[lvl], inputs.nmaps_prev_g[lvl],
                     c.fx, c.fy, c.cx, c.cy,
                     cfg.dist_threshold, cfg.angle_threshold_sin,
+                    prev_table=prev_table,
                 )
                 icp_error = jnp.sqrt(gi.sum_sq) / jnp.maximum(gi.count, 1.0)
                 icp_count = gi.count
@@ -278,7 +298,8 @@ def get_incremental_transformation(
                 icp_count = jnp.float32(0.0)
 
             if rgb_on:
-                gr = rgb_step(corres, sigma_val, cloud, c.fx, c.fy, dIdx, dIdy)
+                gr = rgb_step(corres, sigma_val, cloud, c.fx, c.fy, dIdx, dIdy,
+                              cloud_table=cloud_table)
             else:
                 gr = Gram(zero66, zero6, jnp.float32(0.0), jnp.float32(0.0))
 
