@@ -106,8 +106,10 @@ def fuse(
     def shifted(img, dy, dx):
         return jnp.roll(jnp.roll(img, -dy, axis=-2), -dx, axis=-1)
 
-    for dy in (-1, 0, 1):
-        for dx in (-1, 0, 1):
+    best_off = jnp.full((H, W), -1, jnp.int32)  # winning window offset 0..8
+    for oi, (dy, dx) in enumerate(
+        [(dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
+    ):
             cand = shifted(index, dy, dx)
             inb = (vi + dy >= 0) & (vi + dy < H) & (ui + dx >= 0) & (ui + dx < W)
             cand = jnp.where(inb, cand, -1)
@@ -126,23 +128,32 @@ def fuse(
             denom = jnp.maximum(
                 jnp.linalg.norm(nc, axis=0) * jnp.linalg.norm(n_local, axis=0), 1e-12
             )
-            ang = jnp.arccos(jnp.clip(nn / denom, -1.0, 1.0))
-            norm_ok = (jnp.abs(nc[2]) < 0.75) | (jnp.abs(ang) < 0.5)
+            # |acos(x)| < 0.5  ⟺  x > cos(0.5): same gate without the
+            # per-pixel transcendental
+            norm_ok = (jnp.abs(nc[2]) < 0.75) | (nn / denom > 0.87758256189)
             ok = has & depth_ok & norm_ok & (dist < best_dist)
             best_dist = jnp.where(ok, dist, best_dist)
             best_id = jnp.where(ok, cand, best_id)
             best_rad = jnp.where(ok, shifted(pred.radius, dy, dx), best_rad)
+            best_off = jnp.where(ok, oi, best_off)
 
     matched = measuring & (best_id < cap)
     new_pt = measuring & ~matched
 
     # --- merge accumulation (update.vert:49-92, generalized to all matches) ---
+    # Scatter-free: a surfel wins at most ONE index-map pixel w (it projects
+    # to a single pixel in the point raster), and a measuring pixel q matches
+    # it only when w lies in q's 3x3 window.  So all of s's measurement
+    # contributions live in the 3x3 neighbourhood of w: accumulate them as
+    # pixel-domain images (shift by the recorded winning offset) and fetch
+    # them per-surfel with ONE packed row-gather — big duplicate-index
+    # scatters run at scalar rate on TPU and are avoided entirely.
     R = T_wc[:3, :3]
     t = T_wc[:3, 3]
     v_g = (R @ v_local.reshape(3, -1) + t[:, None])            # world
     n_g = R @ n_local.reshape(3, -1)
+    col_meas = rgb.reshape(-1, 3).T.astype(jnp.float32)
 
-    bid = jnp.where(matched, best_id, cap).reshape(-1)
     # radius gate (update.vert:61): merge geometry only if not much coarser
     full_merge = matched.reshape(-1) & (
         rad_new.reshape(-1) < 1.5 * best_rad.reshape(-1)
@@ -150,15 +161,48 @@ def fuse(
     a = jnp.where(matched.reshape(-1), conf_new.reshape(-1), 0.0)
     a_full = jnp.where(full_merge, a, 0.0)
 
-    sum_a = jnp.zeros((cap,), jnp.float32).at[bid].add(a, mode="drop")
-    sum_af = jnp.zeros((cap,), jnp.float32).at[bid].add(a_full, mode="drop")
-    sum_av = jnp.zeros((3, cap), jnp.float32).at[:, bid].add(a_full * v_g, mode="drop")
-    col_meas = rgb.reshape(-1, 3).T.astype(jnp.float32)
-    sum_ac = jnp.zeros((3, cap), jnp.float32).at[:, bid].add(a_full * col_meas, mode="drop")
-    sum_an = jnp.zeros((3, cap), jnp.float32).at[:, bid].add(a_full * n_g, mode="drop")
-    sum_ar = jnp.zeros((cap,), jnp.float32).at[bid].add(
-        a_full * rad_new.reshape(-1), mode="drop"
+    meas = jnp.stack(
+        [a, a_full,
+         a_full * v_g[0], a_full * v_g[1], a_full * v_g[2],
+         a_full * col_meas[0], a_full * col_meas[1], a_full * col_meas[2],
+         a_full * n_g[0], a_full * n_g[1], a_full * n_g[2],
+         a_full * rad_new.reshape(-1)]
+    ).reshape(12, H, W)
+    contrib = jnp.zeros_like(meas)
+    for oi, (dy, dx) in enumerate(
+        [(dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
+    ):
+        # pixels q whose winning candidate sits at offset (dy,dx) contribute
+        # to the surfel winning pixel w = q + (dy,dx): shift BY the offset
+        sel = (best_off == oi)[None]
+        contrib = contrib + shifted(jnp.where(sel, meas, 0.0), -dy, -dx)
+
+    # per-surfel fetch at its own projected pixel; valid only if it is the
+    # index-map winner there (the contribution images are keyed to winners)
+    T_cw_R = R.T
+    pos_cs = T_cw_R @ (m.pos - t[:, None])
+    zs = pos_cs[2]
+    safe_zs = jnp.where(jnp.abs(zs) > 1e-12, zs, 1.0)
+    us = jnp.floor(pos_cs[0] * cam.fx / safe_zs + cam.cx).astype(jnp.int32)
+    vs = jnp.floor(pos_cs[1] * cam.fy / safe_zs + cam.cy).astype(jnp.int32)
+    proj_ok = (zs > 0) & (us >= 0) & (vs >= 0) & (us < W) & (vs < H)
+    wflat = jnp.clip(vs, 0, H - 1) * W + jnp.clip(us, 0, W - 1)
+    slot_ids = jax.lax.broadcasted_iota(jnp.int32, (cap, 1), 0).squeeze(-1)
+    got = packed_gather(
+        (pred.index,
+         contrib[0], contrib[1], contrib[2], contrib[3], contrib[4],
+         contrib[5], contrib[6], contrib[7], contrib[8], contrib[9],
+         contrib[10], contrib[11]),
+        wflat,
     )
+    is_winner = proj_ok & (got[0] == slot_ids)
+    sel = lambda i: jnp.where(is_winner, got[i], 0.0)  # noqa: E731
+    sum_a = sel(1)
+    sum_af = sel(2)
+    sum_av = jnp.stack([sel(3), sel(4), sel(5)])
+    sum_ac = jnp.stack([sel(6), sel(7), sel(8)])
+    sum_an = jnp.stack([sel(9), sel(10), sel(11)])
+    sum_ar = sel(12)
 
     c_k = m.conf
     denom_f = c_k + sum_af
@@ -175,20 +219,50 @@ def fuse(
     new_last = jnp.where(touched, jnp.float32(tick), m.last_t)
 
     # --- append new unstable surfels (data.geom:36-49) ---
+    # Scatter-free: stable-sort the per-pixel measurement rows so new points
+    # form a dense prefix, then read-modify-write the map tail [count,
+    # count+n_px) with contiguous dynamic slices (pure DMA).
     npm = new_pt.reshape(-1)
-    dest = jnp.where(npm, m.count + jnp.cumsum(npm.astype(jnp.int32)) - 1, cap)
-    dest = jnp.where(dest < cap, dest, cap)
     tickf = jnp.float32(tick)
     n_new = jnp.minimum(jnp.sum(npm.astype(jnp.int32)), cap - m.count)
 
+    sort_ops = jax.lax.sort(
+        ((~npm).astype(jnp.int32),
+         v_g[0], v_g[1], v_g[2], conf_new.reshape(-1),
+         col_meas[0], col_meas[1], col_meas[2],
+         n_g[0], n_g[1], n_g[2], rad_new.reshape(-1)),
+        num_keys=1, is_stable=True,
+    )
+    # dynamic_slice clamps its start to keep the n_px window in-bounds; when
+    # clamped (count > cap - n_px) the window's first `shift` rows are LIVE
+    # surfels, so roll the new rows forward by `shift` and only overwrite
+    # window rows [shift, shift + n_writable)
+    start = jnp.minimum(m.count, cap - n_px)
+    shift = m.count - start
+    n_new = jnp.minimum(n_new, cap - m.count)
+    widx = jax.lax.broadcasted_iota(jnp.int32, (n_px, 1), 0).squeeze(-1)
+    wmask = (widx >= shift) & (widx < shift + n_new)
+
+    def wr1(arr, newvals):
+        old = jax.lax.dynamic_slice(arr, (start,), (n_px,))
+        win = jnp.where(wmask, jnp.roll(newvals, shift), old)
+        return jax.lax.dynamic_update_slice(arr, win, (start,))
+
+    def wr3(arr, c0, c1, c2):
+        old = jax.lax.dynamic_slice(arr, (0, start), (3, n_px))
+        new3 = jnp.roll(jnp.stack([c0, c1, c2]), shift, axis=1)
+        win = jnp.where(wmask[None], new3, old)
+        return jax.lax.dynamic_update_slice(arr, win, (0, start))
+
+    ticks = jnp.full((n_px,), tickf)
     out = SurfelMap(
-        pos=new_pos.at[:, dest].set(v_g, mode="drop"),
-        conf=new_conf.at[dest].set(conf_new.reshape(-1), mode="drop"),
-        color=new_col.at[:, dest].set(col_meas, mode="drop"),
-        init_t=m.init_t.at[dest].set(jnp.full((n_px,), tickf), mode="drop"),
-        last_t=new_last.at[dest].set(jnp.full((n_px,), tickf), mode="drop"),
-        normal=new_norm.at[:, dest].set(n_g, mode="drop"),
-        radius=new_rad.at[dest].set(rad_new.reshape(-1), mode="drop"),
+        pos=wr3(new_pos, sort_ops[1], sort_ops[2], sort_ops[3]),
+        conf=wr1(new_conf, sort_ops[4]),
+        color=wr3(new_col, sort_ops[5], sort_ops[6], sort_ops[7]),
+        init_t=wr1(m.init_t, ticks),
+        last_t=wr1(new_last, ticks),
+        normal=wr3(new_norm, sort_ops[8], sort_ops[9], sort_ops[10]),
+        radius=wr1(new_rad, sort_ops[11]),
         count=m.count + n_new,
     )
     stats = FuseStats(

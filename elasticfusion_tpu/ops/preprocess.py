@@ -138,23 +138,37 @@ def compute_nmap(vmap: jax.Array) -> jax.Array:
     return jnp.where(valid[None], n, 0.0)
 
 
+def _subsample2(x: jax.Array) -> jax.Array:
+    """x[::2, ::2] via reshape+slice — a per-tap strided slice makes each
+    stencil tap its own slow HLO; one full-res stencil + one subsample is
+    ~25x faster on TPU."""
+    H, W = x.shape[-2] // 2 * 2, x.shape[-1] // 2 * 2
+    x = x[..., :H, :W]
+    x = x.reshape(*x.shape[:-2], H // 2, 2, W // 2, 2)
+    return x[..., :, 0, :, 0]
+
+
 @jax.jit
 def pyr_down_depth(depth_m: jax.Array, sigma_color: float = 0.03) -> jax.Array:
     """Depth half-resolution downsample with 3σ rejection (σ=30 mm),
-    matching pyrDownGaussKernel (cudafuncs.cu:77-121) but in metres."""
-    H, W = depth_m.shape
-    center = depth_m[::2, ::2]
+    matching pyrDownGaussKernel (cudafuncs.cu:77-121) but in metres.
+
+    Computed as a full-resolution stencil then one 2x subsample (the even
+    pixels are exactly the reference's output grid)."""
+    center = depth_m
     num = jnp.zeros_like(center)
     den = jnp.zeros_like(center)
+    ones = jnp.ones_like(depth_m)
     for dy in range(-2, 3):
         for dx in range(-2, 3):
-            nb = _shift2d(depth_m, dy, dx)[::2, ::2]
-            inside = _shift2d(jnp.ones_like(depth_m), dy, dx)[::2, ::2]
+            nb = _shift2d(depth_m, dy, dx)
+            inside = _shift2d(ones, dy, dx)
             w = _DEPTH_W[dy + 2] * _DEPTH_W[dx + 2]
             keep = (jnp.abs(nb - center) < 3.0 * sigma_color) & (inside > 0)
             num = num + jnp.where(keep, nb * w, 0.0)
             den = den + jnp.where(keep, w, 0.0)
-    return jnp.where(den > 0, num / jnp.maximum(den, 1e-12), 0.0)
+    full = jnp.where(den > 0, num / jnp.maximum(den, 1e-12), 0.0)
+    return _subsample2(full)
 
 
 @jax.jit
@@ -163,32 +177,32 @@ def pyr_down_gauss(img: jax.Array) -> jax.Array:
     0-as-invalid masking (pyrDownKernelGaussF, cudafuncs.cu:393-411 —
     reference skips NaN pixels; here 0-pixels)."""
     valid = (img > 0).astype(jnp.float32)
-    num = jnp.zeros_like(img[::2, ::2])
-    den = jnp.zeros_like(num)
+    num = jnp.zeros_like(img)
+    den = jnp.zeros_like(img)
     for dy in range(-2, 3):
         for dx in range(-2, 3):
             w = _GAUSS5[dy + 2] * _GAUSS5[dx + 2]
-            nb = _shift2d(img, dy, dx)[::2, ::2]
-            m = _shift2d(valid, dy, dx)[::2, ::2]
+            nb = _shift2d(img, dy, dx)
+            m = _shift2d(valid, dy, dx)
             num = num + nb * m * w
             den = den + m * w
-    return jnp.where(den > 0, num / jnp.maximum(den, 1e-12), 0.0)
+    return _subsample2(jnp.where(den > 0, num / jnp.maximum(den, 1e-12), 0.0))
 
 
 @jax.jit
 def pyr_down_intensity(img: jax.Array) -> jax.Array:
     """Plain 5×5 Gaussian downsample for intensity images
     (pyrDownKernelIntensityGauss, cudafuncs.cu:516-540)."""
-    num = jnp.zeros_like(img[::2, ::2], dtype=jnp.float32)
-    den = jnp.zeros_like(num)
+    f = img.astype(jnp.float32)
+    ones = jnp.ones(img.shape, jnp.float32)
+    num = jnp.zeros_like(f)
+    den = jnp.zeros_like(f)
     for dy in range(-2, 3):
         for dx in range(-2, 3):
             w = _GAUSS5[dy + 2] * _GAUSS5[dx + 2]
-            nb = _shift2d(img.astype(jnp.float32), dy, dx)[::2, ::2]
-            inside = _shift2d(jnp.ones(img.shape, jnp.float32), dy, dx)[::2, ::2]
-            num = num + nb * w * inside
-            den = den + w * inside
-    return num / jnp.maximum(den, 1e-12)
+            num = num + _shift2d(f, dy, dx) * w * _shift2d(ones, dy, dx)
+            den = den + w * _shift2d(ones, dy, dx)
+    return _subsample2(num / jnp.maximum(den, 1e-12))
 
 
 @jax.jit
@@ -207,11 +221,11 @@ def resize_nmap(nmap: jax.Array) -> jax.Array:
 def _resize_map(m: jax.Array, normalize: bool) -> jax.Array:
     # crop odd trailing row/col (fern-resolution images can be odd-sized)
     H2, W2 = (m.shape[1] // 2) * 2, (m.shape[2] // 2) * 2
-    m = m[:, :H2, :W2]
-    x00 = m[:, 0::2, 0::2]
-    x01 = m[:, 0::2, 1::2]
-    x10 = m[:, 1::2, 0::2]
-    x11 = m[:, 1::2, 1::2]
+    m = m[:, :H2, :W2].reshape(3, H2 // 2, 2, W2 // 2, 2)
+    x00 = m[:, :, 0, :, 0]
+    x01 = m[:, :, 0, :, 1]
+    x10 = m[:, :, 1, :, 0]
+    x11 = m[:, :, 1, :, 1]
     if normalize:
         vs = [jnp.sum(x * x, axis=0) > 1e-24 for x in (x00, x01, x10, x11)]
     else:

@@ -82,9 +82,16 @@ def _point_raster(
     cam: CameraConfig,
     slot_live: jax.Array,
 ) -> jax.Array:
-    """Scatter-min z-buffer of 1-px points -> winner id image [H,W] (i32,
+    """Sort-based z-buffer of 1-px points -> winner id image [H,W] (i32,
     INVALID_ID where empty).  Replaces the GL depth-tested point render of
-    index_map.vert."""
+    index_map.vert.
+
+    Duplicate-index scatter-min lowers poorly on TPU; instead sort surfels by
+    (pixel, z-bits) with a stable multi-key sort — positive IEEE floats
+    compare correctly as unsigned ints — and keep the first entry of every
+    pixel run.  Stability gives the deterministic lowest-id tie-break at
+    equal depth.  The winning ids scatter with UNIQUE indices (one run head
+    per pixel), which takes XLA's fast scatter path."""
     H, W = cam.height, cam.width
     N = pos_c.shape[1]
     z = pos_c[2]
@@ -94,14 +101,20 @@ def _point_raster(
     ok = valid & slot_live & (z > 0) & (u >= 0) & (v >= 0) & (u < W) & (v < H)
     pix = jnp.where(ok, v * W + u, H * W)  # out-of-range -> dropped
 
-    big = jnp.float32(3.4e38)
-    zbuf = jnp.full((H * W,), big, jnp.float32).at[pix].min(
-        jnp.where(ok, z, big), mode="drop"
-    )
-    (z_at,) = packed_gather((zbuf,), jnp.clip(pix, 0, H * W - 1))
+    zbits = jax.lax.bitcast_convert_type(z, jnp.uint32)
+    zkey = jnp.where(ok, zbits, jnp.uint32(0xFFFFFFFF))
     ids = jax.lax.broadcasted_iota(jnp.int32, (N, 1), 0).squeeze(-1)
-    cand = jnp.where(ok & (z <= z_at), ids, INVALID_ID)
-    winner = jnp.full((H * W,), INVALID_ID, jnp.int32).at[pix].min(cand, mode="drop")
+    spix, _, sid = jax.lax.sort((pix, zkey, ids), num_keys=2, is_stable=True)
+
+    head = jnp.concatenate(
+        [jnp.ones((1,), jnp.bool_), spix[1:] != spix[:-1]]
+    ) & (spix < H * W)
+    dest = jax.lax.optimization_barrier(jnp.where(head, spix, H * W))
+    winner = (
+        jnp.full((H * W,), INVALID_ID, jnp.int32)
+        .at[dest]
+        .set(sid, mode="drop", unique_indices=True)
+    )
     return winner.reshape(H, W)
 
 

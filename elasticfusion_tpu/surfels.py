@@ -141,7 +141,9 @@ def init_map_from_frame(
 
     valid = ((z > 0) & (z <= max_depth) & nvalid).reshape(-1)
     n_px = H * W
-    dest = jnp.where(valid, jnp.cumsum(valid.astype(jnp.int32)) - 1, capacity)
+    dest = jax.lax.optimization_barrier(
+        jnp.where(valid, jnp.cumsum(valid.astype(jnp.int32)) - 1, capacity)
+    )
 
     m = empty_map(capacity)
     one = jnp.ones((n_px,), jnp.float32)
@@ -161,21 +163,35 @@ def init_map_from_frame(
 
 def compact(m: SurfelMap, keep: jax.Array) -> SurfelMap:
     """Drop surfels where `keep` is False, preserving order — the equivalent
-    of transform-feedback stream compaction (copy_unstable.geom:33-43) as a
-    prefix-sum + scatter."""
+    of transform-feedback stream compaction (copy_unstable.geom:33-43).
+
+    Implemented as ONE stable multi-operand sort on the dead flag: kept rows
+    (key 0) move to the front in order, dead rows sink.  Large scatters run
+    at scalar-core rate on TPU (~90 ms for a [3,1M] axis-1 scatter), while
+    the sort path is vectorized; dead rows are zeroed so downstream masks
+    (`z>0`, `conf>0`) behave as before."""
     cap = m.capacity
     slot = jax.lax.broadcasted_iota(jnp.int32, (cap, 1), 0).squeeze(-1)
     keep = keep & (slot < m.count)
-    dest = jnp.where(keep, jnp.cumsum(keep.astype(jnp.int32)) - 1, cap)
-    z3 = jnp.zeros_like(m.pos)
-    z1 = jnp.zeros_like(m.conf)
+    dead = (~keep).astype(jnp.int32)
+    zero = jnp.where(keep, 1.0, 0.0)
+    ops = jax.lax.sort(
+        (dead,
+         m.pos[0] * zero, m.pos[1] * zero, m.pos[2] * zero,
+         m.conf * zero,
+         m.color[0] * zero, m.color[1] * zero, m.color[2] * zero,
+         m.init_t * zero, m.last_t * zero,
+         m.normal[0] * zero, m.normal[1] * zero, m.normal[2] * zero,
+         m.radius * zero),
+        num_keys=1, is_stable=True,
+    )
     return SurfelMap(
-        pos=z3.at[:, dest].set(m.pos, mode="drop"),
-        conf=z1.at[dest].set(m.conf, mode="drop"),
-        color=z3.at[:, dest].set(m.color, mode="drop"),
-        init_t=z1.at[dest].set(m.init_t, mode="drop"),
-        last_t=z1.at[dest].set(m.last_t, mode="drop"),
-        normal=z3.at[:, dest].set(m.normal, mode="drop"),
-        radius=z1.at[dest].set(m.radius, mode="drop"),
+        pos=jnp.stack(ops[1:4]),
+        conf=ops[4],
+        color=jnp.stack(ops[5:8]),
+        init_t=ops[8],
+        last_t=ops[9],
+        normal=jnp.stack(ops[10:13]),
+        radius=ops[13],
         count=jnp.sum(keep.astype(jnp.int32)),
     )
