@@ -327,6 +327,16 @@ class HostConstraint:
         self.pin = pin
 
 
+@functools.partial(jax.jit, static_argnames=("rate",))
+def _sample_every(pos, init_t, rate: int):
+    """Every rate-th surfel's (position [M,3], init time [M]) — device-side
+    subsample of the map (the GPU sample.geom pass's equivalent).  Uses an
+    explicit index gather: a stride-5000 slice lowers to a ~250 ms scalar
+    walk on TPU, the small gather is microseconds."""
+    idx = jnp.arange(0, pos.shape[1], rate, dtype=jnp.int32)
+    return jnp.take(pos, idx, axis=1).T, jnp.take(init_t, idx)
+
+
 class Deformation:
     """Host orchestrator mirroring the reference Deformation class: samples
     graph nodes from the map each frame, accumulates constraints, optimizes,
@@ -346,15 +356,18 @@ class Deformation:
     def sample_graph_model(self, m: SurfelMap) -> None:
         """Every sample_rate-th surfel becomes a node (sample.geom:33-39);
         node time = surfel init time; temporal order is guaranteed by the
-        map's append-ordered layout (Deformation.cpp:294-297 asserts it)."""
+        map's append-ordered layout (Deformation.cpp:294-297 asserts it).
+
+        The subsample happens ON DEVICE (static every-rate-th slice over
+        capacity) so only ~kilobytes cross to the host, not the 12 MB map."""
         n = int(m.count)
-        idx = np.arange(0, n, self.sample_rate)
-        if len(idx) <= K_NEIGHBOURS:
+        n_idx = (n + self.sample_rate - 1) // self.sample_rate
+        if n_idx <= K_NEIGHBOURS:
             self.graph = None
             return
-        idx = idx[: self.node_capacity]
-        pos = np.asarray(m.pos)[:, idx].T
-        times = np.asarray(m.init_t)[idx]
+        pos_sub, times_sub = _sample_every(m.pos, m.init_t, self.sample_rate)
+        pos = np.asarray(pos_sub)[:n_idx][: self.node_capacity]
+        times = np.asarray(times_sub)[:n_idx][: self.node_capacity]
         self._init_graph(pos, times)
 
     def sample_graph_from(self, other: "Deformation") -> None:
@@ -373,12 +386,19 @@ class Deformation:
         self._init_graph(pos, times)
 
     def _init_graph(self, pos: np.ndarray, times: np.ndarray) -> None:
+        # pad on the HOST to the fixed capacity: a `.at[:n].set` with a
+        # python n re-traces/compiles for every new node count (i.e. every
+        # frame while the map grows)
         cap = self.node_capacity
         g = empty_graph(cap)
         n = len(pos)
+        pos_pad = np.zeros((cap, 3), np.float32)
+        pos_pad[:n] = pos
+        times_pad = np.zeros((cap,), np.float32)
+        times_pad[:n] = times
         self.graph = g._replace(
-            pos=g.pos.at[:n].set(jnp.asarray(pos, jnp.float32)),
-            times=g.times.at[:n].set(jnp.asarray(times, jnp.float32)),
+            pos=jnp.asarray(pos_pad),
+            times=jnp.asarray(times_pad),
             nbr=jnp.asarray(_neighbours(n, cap)),
             n_nodes=jnp.int32(n),
         )

@@ -287,6 +287,126 @@ def slam_step(
     return m, T, so3_cur, (vtx, nrm, img), pred, dense, res
 
 
+def _decimate_views(img, vtx, nrm, factor: int):
+    """Nearest decimation at output-pixel centres for the fern views
+    (the reference's Resize GPU pass, Resize.cpp:69-146) — done on device so
+    only ~100 KB crosses to the host."""
+    off = factor // 2
+    return (
+        img[off::factor, off::factor],
+        vtx[:, off::factor, off::factor],
+        nrm[:, off::factor, off::factor],
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _frame_a(
+    m: SurfelMap,
+    T_prev,                       # (4,4) f32
+    so3_hist,
+    pred_vertex, pred_normal, pred_image,   # last predict() output
+    fill_vertex, fill_normal, fill_image,   # its fill-in
+    dense_prev,                   # f32 scalar: last predict's coverage
+    depth_mm, rgb,
+    tick, max_time,
+    lost,                         # bool scalar
+    cfg: EngineConfig,
+):
+    """First per-frame device program: preprocess -> frame-to-model tracking
+    (against last prediction or its fill-in, selected on-device by the
+    denseEnough test, ElasticFusion.cpp:256-268,303-315) -> ACTIVE
+    combinedPredict + FillIn at the tracked pose (cpp:387) -> fern-resolution
+    views.  Everything the host needs for loop closure / reloc decisions
+    comes back as small arrays."""
+    raw_m, filt_m = _preprocess(depth_mm, cfg)
+
+    use_fill = (dense_prev < 0.75) | jnp.bool_(cfg.frame_to_frame_rgb)
+    pv = jnp.where(use_fill, fill_vertex, pred_vertex)
+    pn = jnp.where(use_fill, fill_normal, pred_normal)
+    pi = jnp.where(use_fill, fill_image, pred_image)
+
+    res, so3_cur = _track(pv, pn, pi, filt_m, rgb, so3_hist, T_prev, cfg, False)
+    T = res.T_curr
+
+    # velocity-adaptive fusion weight (cpp:371-383), on-device
+    from .se3 import se3_log_norm
+
+    T_cp = jnp.linalg.inv(T) @ T_prev
+    w = jnp.minimum(
+        jnp.maximum(jnp.linalg.norm(T_cp[:3, 3]), se3_log_norm(T_cp)), 0.01
+    )
+    weighting = jnp.maximum(1.0 - w / 0.01, 0.5)
+
+    pred, vtx, nrm, img, dense = _predict(
+        m, T, tick, max_time, filt_m, rgb, lost, cfg
+    )
+    fern = _decimate_views(img, vtx, nrm, cfg.fern_pyramid_factor)
+    return raw_m, filt_m, res, so3_cur, weighting, pred, (vtx, nrm, img), dense, fern
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
+def _frame_b(
+    m: SurfelMap,
+    T_wc, tick, rgb, depth_raw_m, depth_filt_m, weighting, max_time,
+    lost,
+    cfg: EngineConfig,
+):
+    """Second per-frame device program: predictIndices -> fuse ->
+    predictIndices -> clean (cpp:536-585), then the end-of-frame predict()
+    (cpp:599) + fill-in + fern views for Ferns::addFrame and next-frame
+    tracking."""
+    m2, stats = _fuse_and_clean(
+        m, T_wc, tick, rgb, depth_raw_m, depth_filt_m, weighting, cfg
+    )
+    pred, vtx, nrm, img, dense = _predict(
+        m2, T_wc, tick, max_time, depth_filt_m, rgb, lost, cfg
+    )
+    fern = _decimate_views(img, vtx, nrm, cfg.fern_pyramid_factor)
+    return m2, stats, pred, (vtx, nrm, img), dense, fern
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _frame_c(
+    m: SurfelMap,
+    new_vertex, new_normal, new_image,   # ACTIVE prediction (this frame)
+    T_wc, tick,
+    cfg: EngineConfig,
+):
+    """Local-loop-closure device program: INACTIVE combinedPredict
+    (ElasticFusion.cpp:450-459) + modelToModel odometry (cpp:462-471) in one
+    dispatch.  Returns the odometry result, the inactive depth-pixel count,
+    and the consSample-subsampled constraint source points/time images the
+    host needs (cpp:485-511)."""
+    old_pred = combined_predict(
+        m, T_wc, cfg.camera, jnp.float32(0.0), tick - cfg.time_delta,
+        cfg.time_delta, cfg.confidence_threshold, cfg.max_depth_processed,
+    )
+    inactive_count = jnp.sum((old_pred.depth > 0).astype(jnp.int32))
+    res = _model_to_model(
+        new_vertex, new_normal, new_image,
+        old_pred.vertex, old_pred.normal, old_pred.image,
+        T_wc, cfg,
+    )
+    CONS_SAMPLE = 20
+    pv = new_vertex[:, ::CONS_SAMPLE, ::CONS_SAMPLE]
+    ot = old_pred.time[::CONS_SAMPLE, ::CONS_SAMPLE]
+    return res, inactive_count, pv, ot
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _predict_only(
+    m: SurfelMap, T_wc, tick, max_time, depth_filt_m, rgb, lost,
+    cfg: EngineConfig,
+):
+    """predict() + fill-in + fern views without fusion (lost / not-fused
+    frames, and post-deformation refresh)."""
+    pred, vtx, nrm, img, dense = _predict(
+        m, T_wc, tick, max_time, depth_filt_m, rgb, lost, cfg
+    )
+    fern = _decimate_views(img, vtx, nrm, cfg.fern_pyramid_factor)
+    return pred, (vtx, nrm, img), dense, fern
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def _coarse_intensity(rgb, cfg: EngineConfig):
     """Coarsest-level intensity pyramid of a frame (for next frame's SO3
@@ -309,8 +429,14 @@ class FrameResult:
     lost: bool
     icp_error: float
     icp_count: float
-    surfel_count: int
     fused: bool
+    count_dev: object = None   # device i32 scalar; sync on access
+
+    @property
+    def surfel_count(self) -> int:
+        """Live surfel count — materializing it synchronizes the device, so
+        it is lazy (the per-frame loop should not read it every frame)."""
+        return 0 if self.count_dev is None else int(self.count_dev)
 
 
 class Engine:
@@ -336,6 +462,9 @@ class Engine:
         self._so3_hist = None       # prev frame coarsest intensity
         self._pred = None           # Prediction from end-of-last-frame predict()
         self._fill = None           # (vertex, normal, image) fill-in maps
+        self._dense_dev = None      # f32 scalar device: last predict coverage
+        self._fern_views = None     # decimated (img, vtx, nrm) of last predict
+        self._count_est = 0         # host upper bound on map.count
         self._last_icp_error = 0.0
         self._last_icp_count = 0.0
         # loop-closure subsystems (ferns.py / deformation.py)
@@ -387,79 +516,98 @@ class Engine:
         cfg = self.cfg
         sw = self.stopwatch
         sw.tick("Run")
+        # "Preprocess" now spans the host->device frame upload; the bilateral
+        # filter + metricisation run inside the fused per-frame programs
+        sw.tick("Preprocess")
         rgb_d = jnp.asarray(rgb)
         depth_d = jnp.asarray(depth_mm)
-
-        sw.tick("Preprocess")
-        raw_m, filt_m = _preprocess(depth_d, cfg)
         sw.tock("Preprocess")
 
         fused = False
         tracking_ok = True
+        raw_m = filt_m = None
 
         if self.tick == 1:
+            raw_m, filt_m = _preprocess(depth_d, cfg)
             n_px = cfg.camera.width * cfg.camera.height
             cap0 = _next_bucket(2 * n_px, cfg.max_surfels)
             self.map = _init_map(raw_m, filt_m, rgb_d, cfg, cap0)
+            self._count_est = cfg.camera.width * cfg.camera.height
             self._so3_hist = _coarse_intensity(rgb_d, cfg)  # initFirstRGB
             if in_T_wc is not None:
                 self.T_wc = np.asarray(in_T_wc, np.float64)
+            (self._pred, self._fill, self._dense_dev,
+             self._fern_views) = _predict_only(
+                self.map, jnp.asarray(self.T_wc, jnp.float32),
+                jnp.float32(1.0), jnp.float32(1.0), filt_m, rgb_d,
+                jnp.bool_(False), cfg,
+            )
         else:
             T_prev = self.T_wc.copy()
+            tick_dev = jnp.float32(self.tick)
+            max_time = (
+                jnp.float32(0.0) if self.last_frame_recovery else tick_dev
+            )
+            weighting_dev = jnp.float32(1.0)
 
             # after a checkpoint restore there is no carried prediction yet:
             # regenerate it from the restored map at the restored pose
             if self._pred is None:
+                raw_m, filt_m = _preprocess(depth_d, cfg)
                 self._run_predict(
-                    jnp.asarray(self.T_wc, jnp.float32), jnp.float32(self.tick),
+                    jnp.asarray(self.T_wc, jnp.float32), tick_dev,
                     filt_m, rgb_d,
                 )
             if self._so3_hist is None:
                 self._so3_hist = _coarse_intensity(rgb_d, cfg)
 
             if in_T_wc is None:
-                # tracking against last frame's prediction (or its fill-in)
-                sw.tick("autoFill")
-                should_fill = bool(self._dense_frac < 0.75)  # denseEnough
-                sw.tock("autoFill")
-                vtx, nrm, img = self._fill
-                if not should_fill and not cfg.frame_to_frame_rgb:
-                    pv, pn, pi = self._pred.vertex, self._pred.normal, self._pred.image
-                else:
-                    pv, pn, pi = vtx, nrm, img
-
+                # program A: preprocess + track + predict@tracked-pose + fern
+                # views, one dispatch (cpp:278-402)
                 sw.tick("odom")
-                res, so3_cur = _track(
-                    pv, pn, pi, filt_m, rgb_d, self._so3_hist,
-                    jnp.asarray(self.T_wc, jnp.float32), cfg, should_fill,
+                (raw_m, filt_m, res, so3_cur, weighting_dev, pred, fill,
+                 dense, fern_views) = _frame_a(
+                    self.map,
+                    jnp.asarray(self.T_wc, jnp.float32), self._so3_hist,
+                    self._pred.vertex, self._pred.normal, self._pred.image,
+                    self._fill[0], self._fill[1], self._fill[2],
+                    self._dense_dev, depth_d, rgb_d,
+                    tick_dev, max_time, jnp.bool_(self.lost), cfg,
                 )
                 sw.tock("odom")
-                T_curr = np.asarray(res.T_curr, np.float64)
-                self.T_wc = np_orthonormalize(T_curr)
+                self._pred = pred
+                self._fill = fill
+                self._dense_dev = dense
+                self._fern_views = fern_views
                 self._so3_hist = so3_cur
-                self._last_icp_error = float(res.icp_error)
-                self._last_icp_count = float(res.icp_count)
+                # one batched device->host read for all per-frame scalars
+                T_np, err_np, cnt_np = jax.device_get(
+                    (res.T_curr, res.icp_error, res.icp_count)
+                )
+                self.T_wc = np_orthonormalize(np.asarray(T_np, np.float64))
+                self._last_icp_error = float(err_np)
+                self._last_icp_count = float(cnt_np)
 
                 tracking_ok = (not cfg.reloc_mode) or self._last_icp_error < 1e-4
                 if cfg.reloc_mode:
                     tracking_ok = self._reloc_update(res, tracking_ok)
             else:
+                raw_m, filt_m = _preprocess(depth_d, cfg)
                 self.T_wc = np.asarray(in_T_wc, np.float64)
                 self._so3_hist = _coarse_intensity(rgb_d, cfg)
+                # velocity-adaptive fusion weight on host (cpp:371-383)
+                T_cp = np.linalg.inv(self.T_wc) @ T_prev
+                w = min(
+                    max(float(np.linalg.norm(T_cp[:3, 3])), _se3_log_norm(T_cp)),
+                    0.01,
+                )
+                weighting_dev = jnp.float32(max(1.0 - w / 0.01, 0.5))
+                self._run_predict(
+                    jnp.asarray(self.T_wc, jnp.float32), tick_dev, filt_m, rgb_d
+                )
 
-            # velocity-adaptive fusion weight (cpp:371-383)
-            T_cp = np.linalg.inv(self.T_wc) @ T_prev
-            w = max(
-                float(np.linalg.norm(T_cp[:3, 3])), _se3_log_norm(T_cp)
-            )
-            w = min(w, 0.01)
-            weighting = max(1.0 - w / 0.01, 0.5) * weight_multiplier
-
+            weighting = weighting_dev * jnp.float32(weight_multiplier)
             T_dev = jnp.asarray(self.T_wc, jnp.float32)
-            tick_dev = jnp.float32(self.tick)
-
-            # predict at the tracked pose (cpp:387) — feeds loop closures
-            self._run_predict(T_dev, tick_dev, filt_m, rgb_d)
 
             # --- loop closures (ferns / local deformation) ---
             if cfg.closeLoops and self.ferns is not None:
@@ -471,24 +619,45 @@ class Engine:
                 if self._pending_graph is not None:
                     self.map, stats = _fuse_and_clean_deformed(
                         self.map, T_dev, tick_dev, rgb_d, raw_m, filt_m,
-                        jnp.float32(weighting), self._pending_graph,
+                        weighting, self._pending_graph,
                         self._fern_accepted, cfg,
                     )
+                    (self._pred, self._fill, self._dense_dev,
+                     self._fern_views) = _predict_only(
+                        self.map, T_dev, tick_dev, max_time, filt_m, rgb_d,
+                        jnp.bool_(self.lost), cfg,
+                    )
                 else:
-                    self.map, stats = _fuse_and_clean(
+                    # program B: fuse/clean + end-of-frame predict (cpp:536-599)
+                    (self.map, stats, self._pred, self._fill, self._dense_dev,
+                     self._fern_views) = _frame_b(
                         self.map, T_dev, tick_dev, rgb_d, raw_m, filt_m,
-                        jnp.float32(weighting), cfg,
+                        weighting, max_time, jnp.bool_(self.lost), cfg,
                     )
                 sw.tock("Fuse")
                 fused = True
-                # grow to the next capacity bucket before it can overflow
-                # (fuse appends at most n_px/4 surfels per frame)
+                # grow to the next capacity bucket before it can overflow.
+                # `int(count)` would synchronize every frame, so track a
+                # host-side UPPER BOUND (fuse appends at most n_px/4, clean
+                # only removes) and read the real count only when the bound
+                # crosses the threshold.
                 cap = self.map.capacity
-                if (cap < cfg.max_surfels
-                        and int(self.map.count) > 0.75 * cap):
-                    self.map = _grow_map(
-                        self.map, _next_bucket(2 * cap, cfg.max_surfels)
-                    )
+                if self._count_est == 0:   # e.g. after checkpoint restore
+                    self._count_est = int(self.map.count)
+                self._count_est += (cfg.camera.width * cfg.camera.height) // 4
+                if cap < cfg.max_surfels and self._count_est > 0.70 * cap:
+                    self._count_est = int(self.map.count)
+                    if self._count_est > 0.70 * cap:
+                        self.map = _grow_map(
+                            self.map, _next_bucket(2 * cap, cfg.max_surfels)
+                        )
+            else:
+                # end-of-frame predict without fusion (lost / gated frames)
+                (self._pred, self._fill, self._dense_dev,
+                 self._fern_views) = _predict_only(
+                    self.map, T_dev, tick_dev, max_time, filt_m, rgb_d,
+                    jnp.bool_(self.lost), cfg,
+                )
         self._pending_graph = None
 
         self.tick_poses.append((self.tick, self.T_wc.copy()))
@@ -502,15 +671,11 @@ class Engine:
                 self.global_deformation.sample_graph_from(self.local_deformation)
             sw.tock("sampleGraph")
 
-        # final predict for display/ferns/next-frame tracking (cpp:599)
-        T_dev = jnp.asarray(self.T_wc, jnp.float32)
-        self._run_predict(T_dev, jnp.float32(self.tick), filt_m, rgb_d)
-
         if not self.lost:
             if self.ferns is not None and self.tick > 1:
                 sw.tick("Ferns::addFrame")
-                vtx, nrm, img = self._fill
-                self.ferns.add_frame(img, vtx, nrm, self.T_wc, self.tick)
+                img_s, vtx_s, nrm_s = self._fern_views
+                self.ferns.add_frame(img_s, vtx_s, nrm_s, self.T_wc, self.tick)
                 sw.tock("Ferns::addFrame")
             self.tick += 1
         sw.tock("Run")
@@ -521,8 +686,8 @@ class Engine:
             lost=self.lost,
             icp_error=self._last_icp_error,
             icp_count=self._last_icp_count,
-            surfel_count=self.surfel_count,
             fused=fused,
+            count_dev=None if self.map is None else self.map.count,
         )
 
     # -- internals -----------------------------------------------------------
@@ -530,13 +695,11 @@ class Engine:
     def _run_predict(self, T_dev, tick_dev, filt_m, rgb_d):
         cfg = self.cfg
         max_time = jnp.float32(0.0) if self.last_frame_recovery else tick_dev
-        pred, vtx, nrm, img, dense = _predict(
+        (self._pred, self._fill, self._dense_dev,
+         self._fern_views) = _predict_only(
             self.map, T_dev, tick_dev, max_time, filt_m, rgb_d,
             jnp.bool_(self.lost), cfg,
         )
-        self._pred = pred
-        self._fill = (vtx, nrm, img)
-        self._dense_frac = float(dense)
 
     def _reloc_update(self, res, tracking_ok: bool) -> bool:
         """Relocalization state machine (ElasticFusion.cpp:326-365)."""
@@ -566,12 +729,12 @@ class Engine:
         self._pending_graph = None
         self._fern_accepted = False
         self.last_frame_recovery = False
-        vtx, nrm, img = self._fill
+        img_s, vtx_s, nrm_s = self._fern_views
 
         # --- global: fern retrieval (cpp:394-404) ---
         sw.tick("Ferns::findFrame")
         recovery, constraints = self.ferns.find_frame(
-            img, vtx, nrm, self.T_wc, self.tick, self.lost
+            img_s, vtx_s, nrm_s, self.T_wc, self.tick, self.lost
         )
         sw.tock("Ferns::findFrame")
 
@@ -607,20 +770,19 @@ class Engine:
         # --- local: active-to-inactive model alignment (cpp:447-534) ---
         if self.lost or self._pred is None:
             return
+        # the INACTIVE half (last seen more than timeDelta ticks ago) is
+        # necessarily empty until the run is older than the window
+        if self.tick <= cfg.time_delta:
+            return
         sw.tick("IndexMap::INACTIVE")
-        old_pred = _predict_view(
-            self.map, jnp.asarray(self.T_wc, jnp.float32),
-            jnp.float32(0.0), jnp.float32(self.tick - cfg.time_delta), cfg,
+        res, inactive_count, pv_d, ot_d = _frame_c(
+            self.map,
+            self._pred.vertex, self._pred.normal, self._pred.image,
+            jnp.asarray(self.T_wc, jnp.float32), jnp.float32(self.tick), cfg,
         )
         sw.tock("IndexMap::INACTIVE")
-        if float(jnp.sum(old_pred.depth > 0)) < 1:
+        if int(inactive_count) < 1:
             return
-
-        res = _model_to_model(
-            self._pred.vertex, self._pred.normal, self._pred.image,
-            old_pred.vertex, old_pred.normal, old_pred.image,
-            jnp.asarray(self.T_wc, jnp.float32), cfg,
-        )
         if not _covariance_ok(np.asarray(res.A, np.float64), cfg.cov_threshold):
             return
         if not (float(res.icp_count) > cfg.icp_count_threshold
@@ -629,9 +791,8 @@ class Engine:
         T_est = np_orthonormalize(np.asarray(res.T_curr, np.float64))
 
         # constraints from consSample=20 subsampled pixels (cpp:485-511)
-        CONS_SAMPLE = 20
-        pv = np.asarray(self._pred.vertex)[:, ::CONS_SAMPLE, ::CONS_SAMPLE]
-        ot = np.asarray(old_pred.time)[::CONS_SAMPLE, ::CONS_SAMPLE]
+        pv = np.asarray(pv_d)
+        ot = np.asarray(ot_d)
         z_ok = (pv[2] > 0) & (pv[2] < cfg.max_depth_processed) & (ot > 0)
         ld = self.local_deformation
         pin = ld.deforms == 0

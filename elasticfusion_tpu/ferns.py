@@ -64,6 +64,22 @@ def _downsample(img: np.ndarray, factor: int) -> np.ndarray:
     return img[off::factor, off::factor]
 
 
+def _to_small(img, verts, norms, height, width, factor):
+    """Accept either full-resolution views or views already decimated on
+    device (engine._decimate_views) — the latter avoids an ~8 MB/frame
+    device->host transfer."""
+    img = np.asarray(img)
+    if img.shape[0] != height:
+        img = _downsample(img, factor)
+        verts = _downsample(np.asarray(verts), factor)
+        norms = _downsample(np.asarray(norms), factor)
+    return (
+        np.clip(np.asarray(img), 0, 255).astype(np.uint8),
+        np.asarray(verts, np.float32),
+        np.asarray(norms, np.float32),
+    )
+
+
 class Ferns:
     def __init__(self, cfg: EngineConfig):
         self.cfg = cfg
@@ -134,9 +150,9 @@ class Ferns:
         """Ferns::addFrame (Ferns.cpp:78-160): encode the predicted view,
         keep as keyframe iff min dissimilarity over the DB > threshold."""
         threshold = self.cfg.fern_threshold if threshold is None else threshold
-        rgb_s = np.asarray(_downsample(np.asarray(image), self.factor)).astype(np.uint8)
-        vert_s = np.asarray(_downsample(np.asarray(vertex), self.factor), np.float32)
-        norm_s = np.asarray(_downsample(np.asarray(normal), self.factor), np.float32)
+        rgb_s, vert_s, norm_s = _to_small(
+            image, vertex, normal, self.height, self.width, self.factor
+        )
 
         codes, good = self._encode(rgb_s, vert_s)
         if good == 0:
@@ -171,9 +187,9 @@ class Ferns:
         if not self.frames:
             return None, constraints
 
-        rgb_s = np.asarray(_downsample(np.asarray(image), self.factor)).astype(np.uint8)
-        vert_s = np.asarray(_downsample(np.asarray(vertex), self.factor), np.float32)
-        norm_s = np.asarray(_downsample(np.asarray(normal), self.factor), np.float32)
+        rgb_s, vert_s, norm_s = _to_small(
+            image, vertex, normal, self.height, self.width, self.factor
+        )
 
         codes, good = self._encode(rgb_s, vert_s)
         co = self._co_occurrences(codes)

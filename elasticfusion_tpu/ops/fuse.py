@@ -322,6 +322,12 @@ def clean(
 
     count = jnp.zeros((cap,), jnp.float32)
     zcount = jnp.zeros((cap,), jnp.float32)
+    # candidate-side predicates fold into one flag channel (valid+stable=1,
+    # +seen-this-tick=2): 5 gathered channels instead of 7
+    stable_px = (pred.index >= 0) & (pred.conf > conf_threshold)
+    flag_px = jnp.where(stable_px, 1.0, 0.0) + jnp.where(
+        stable_px & (pred.last_t == tick), 2.0, 0.0
+    )
     for iy, wy in zip((-1, 0, 1), _W3):
         for ix, wx in zip((-1, 0, 1), _W3):
             w = wx * wy
@@ -329,26 +335,24 @@ def clean(
             qy = py + iy
             inb = (qx >= 0) & (qx < W) & (qy >= 0) & (qy < H)
             flat = jnp.clip(qy, 0, H - 1) * W + jnp.clip(qx, 0, W - 1)
-            cand, c_z, c_x, c_y, c_conf, c_it, c_lt = packed_gather(
-                (pred.index, pred.vert[2], pred.vert[0], pred.vert[1],
-                 pred.conf, pred.init_t, pred.last_t),
+            c_flag, c_z, c_x, c_y, c_it = packed_gather(
+                (flag_px, pred.vert[2], pred.vert[0], pred.vert[1],
+                 pred.init_t),
                 flat,
             )
-            cand = jnp.where(inb, cand, -1)
-            has = (cand >= 0) & in_view
-            stable = c_conf > conf_threshold
+            has = inb & (c_flag >= 1.0) & in_view
             behind_me = c_z > lp[2]
             dz = c_z - lp[2]
             dxy = jnp.sqrt((c_x - lp[0]) ** 2 + (c_y - lp[1]) ** 2)
             # merged-candidate overlap (copy_unstable.vert:84-96)
             count += jnp.where(
-                has & (c_it < m.init_t) & stable & behind_me & (dz < 0.01)
+                has & (c_it < m.init_t) & behind_me & (dz < 0.01)
                 & (dxy < m.radius * 1.4),
                 w, 0.0,
             )
             # free-space violation (copy_unstable.vert:98-106)
             zcount += jnp.where(
-                has & (c_lt == tick) & stable & behind_me & (dz > 0.01)
+                has & (c_flag >= 3.0) & behind_me & (dz > 0.01)
                 & (jnp.abs(ln[2]) > 0.85),
                 w, 0.0,
             )

@@ -18,7 +18,7 @@ solve happens on-device inside the same jitted Gauss-Newton loop.
 
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -67,9 +67,40 @@ def icp_prev_table(vmap_g_prev: jax.Array, nmap_g_prev: jax.Array):
     )
 
 
-def rgb_last_table(last_depth: jax.Array, last_image: jax.Array):
-    """Pack the (loop-invariant) last depth+intensity for compute_rgb_residual."""
-    return pack_channels((last_depth, last_image))
+def rgb_last_table(last_depth: jax.Array, last_image: jax.Array,
+                   cloud: Optional[jax.Array] = None):
+    """Pack the (loop-invariant) last depth+intensity (+ back-projected last
+    cloud when given) for compute_rgb_residual — one row-gather serves both
+    the correspondence search and rgb_step's point fetch."""
+    if cloud is None:
+        return pack_channels((last_depth, last_image))
+    return pack_channels((last_depth, last_image, cloud[0], cloud[1], cloud[2]))
+
+
+def rgb_static_gates(
+    min_grad2_scaled: float,
+    dIdx: jax.Array, dIdy: jax.Array,
+    next_depth: jax.Array, next_image: jax.Array,
+) -> jax.Array:
+    """Pose-independent validity gates of compute_rgb_residual
+    (reduce.cu:648-659): 4x4 non-zero neighbourhood, bounds, gradient
+    magnitude, depth validity.  Loop-invariant — compute once per level."""
+    H, W = next_image.shape
+    yi = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+    xi = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+
+    nb_ok = jnp.ones((H, W), jnp.bool_)
+    nz = next_image > 0
+    for du in range(-2, 2):
+        for dv in range(-2, 2):
+            shifted = jnp.roll(jnp.roll(nz, -du, axis=0), -dv, axis=1)
+            inb = ((yi + du >= 0) & (yi + du < H)
+                   & (xi + dv >= 0) & (xi + dv < W))
+            nb_ok = nb_ok & (shifted | ~inb)
+
+    bounds = (xi < W - 5) & (yi < H - 1)
+    grad_ok = (dIdx * dIdx + dIdy * dIdy) >= min_grad2_scaled
+    return (nb_ok & bounds & grad_ok & (next_depth > 0)).reshape(H * W)
 
 
 def rgb_cloud_table(cloud: jax.Array):
@@ -165,6 +196,8 @@ class RgbCorrespondence(NamedTuple):
     valid: jax.Array     # [N] bool
     count: jax.Array     # scalar
     sigma_sum: jax.Array # scalar Σdiff²
+    p: Optional[jax.Array] = None  # [3,N] last-cloud point at (v0,u0), when
+                                   # the table carried cloud channels
 
 
 def compute_rgb_residual(
@@ -176,6 +209,7 @@ def compute_rgb_residual(
     krkinv: jax.Array,     # (3,3) K·R·K⁻¹
     max_depth_delta: float = 0.07,
     last_table=None,       # rgb_last_table(last_depth, last_image)
+    static_gates=None,     # rgb_static_gates(...)
 ) -> RgbCorrespondence:
     """Dense photometric correspondence via depth-consistent reprojection,
     mirroring RGBResidual::getProducts (reduce.cu:636-716)."""
@@ -183,30 +217,13 @@ def compute_rgb_residual(
     N = H * W
     x = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1).reshape(N)
     y = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0).reshape(N)
-    xi = x.astype(jnp.int32)
-    yi = y.astype(jnp.int32)
 
-    # 4×4-ish neighbourhood of nextImage must be non-zero (reduce.cu:648-655)
-    nb_ok = jnp.ones((H, W), jnp.bool_)
-    nz = next_image > 0
-    for du in range(-2, 2):
-        for dv in range(-2, 2):
-            shifted = jnp.roll(jnp.roll(nz, -du, axis=0), -dv, axis=1)
-            row_in = (yi.reshape(H, W) + du >= 0) & (yi.reshape(H, W) + du < H)
-            col_in = (xi.reshape(H, W) + dv >= 0) & (xi.reshape(H, W) + dv < W)
-            inb = row_in & col_in
-            nb_ok = nb_ok & (shifted | ~inb)
-    nb_ok = nb_ok.reshape(N)
-
-    bounds = (xi < W - 5) & (yi < H - 1)
-
-    gx = dIdx.reshape(N)
-    gy = dIdy.reshape(N)
-    grad_ok = (gx * gx + gy * gy) >= min_grad2_scaled
+    if static_gates is None:
+        static_gates = rgb_static_gates(
+            min_grad2_scaled, dIdx, dIdy, next_depth, next_image
+        )
 
     d1 = next_depth.reshape(N)
-    depth_ok = d1 > 0
-
     td1 = d1 * (krkinv[2, 0] * x + krkinv[2, 1] * y + krkinv[2, 2]) + kt[2]
     safe_td1 = jnp.where(jnp.abs(td1) > 1e-12, td1, 1.0)
     u0 = jnp.round(
@@ -220,10 +237,12 @@ def compute_rgb_residual(
     flat0 = jnp.clip(v0, 0, H - 1) * W + jnp.clip(u0, 0, W - 1)
     if last_table is None:
         last_table = rgb_last_table(last_depth, last_image)
-    d0, last_i = gather_packed(last_table, flat0)
+    got = gather_packed(last_table, flat0)
+    d0, last_i = got[0], got[1]
+    p = jnp.stack(got[2:5]) if len(got) >= 5 else None
     match_ok = (d0 > 0) & (jnp.abs(td1 - d0) <= max_depth_delta) & (last_i != 0)
 
-    valid = nb_ok & bounds & grad_ok & depth_ok & in_img & match_ok
+    valid = static_gates & in_img & match_ok
     diff = jnp.where(valid, next_image.reshape(N) - last_i, 0.0)
     return RgbCorrespondence(
         u0=u0,
@@ -232,6 +251,7 @@ def compute_rgb_residual(
         valid=valid,
         count=jnp.sum(valid.astype(jnp.float32)),
         sigma_sum=jnp.sum(diff * diff),
+        p=p,
     )
 
 
@@ -254,10 +274,13 @@ def rgb_step(
     w = jnp.where(w > 1.19209290e-07, 1.0 / w, 1.0)
     w = jnp.where(sigma == -1.0, 1.0, w)
 
-    flat0 = jnp.clip(corres.v0, 0, H - 1) * W + jnp.clip(corres.u0, 0, W - 1)
-    if cloud_table is None:
-        cloud_table = rgb_cloud_table(cloud)
-    p = jnp.stack(gather_packed(cloud_table, flat0))
+    if corres.p is not None:
+        p = corres.p
+    else:
+        flat0 = jnp.clip(corres.v0, 0, H - 1) * W + jnp.clip(corres.u0, 0, W - 1)
+        if cloud_table is None:
+            cloud_table = rgb_cloud_table(cloud)
+        p = jnp.stack(gather_packed(cloud_table, flat0))
     safe_z = jnp.where(jnp.abs(p[2]) > 1e-12, p[2], 1.0)
     invz = 1.0 / safe_z
 

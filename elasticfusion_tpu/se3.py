@@ -97,6 +97,31 @@ def orthonormalize(T: jax.Array) -> jax.Array:
     return T.at[:3, :3].set(R)
 
 
+def se3_log_norm(T: jax.Array) -> jax.Array:
+    """‖log T‖ over the full SE(3) (Sophus log norm) — device twin of the
+    host `engine._se3_log_norm`, used by the velocity-adaptive fusion weight
+    (ElasticFusion.cpp:371-383)."""
+    R = T[:3, :3]
+    cos_t = jnp.clip((jnp.trace(R) - 1.0) * 0.5, -1.0, 1.0)
+    theta = jnp.arccos(cos_t)
+    small = theta < 1e-8
+    coeff = jnp.where(
+        small, 0.5, theta / jnp.maximum(2.0 * jnp.sin(theta), 1e-12)
+    )
+    w = coeff * jnp.array(
+        [R[2, 1] - R[1, 2], R[0, 2] - R[2, 0], R[1, 0] - R[0, 1]]
+    )
+    K = skew(w / jnp.maximum(theta, 1e-12))
+    half = theta * 0.5
+    cot = jnp.where(small, 1.0, half / jnp.tan(jnp.maximum(half, 1e-12)))
+    V_inv = jnp.where(
+        small, jnp.eye(3, dtype=T.dtype),
+        jnp.eye(3, dtype=T.dtype) - 0.5 * theta * K + (1.0 - cot) * (K @ K),
+    )
+    v = V_inv @ T[:3, 3]
+    return jnp.sqrt(jnp.dot(v, v) + jnp.dot(w, w))
+
+
 def se3_log_rot_norm(T: jax.Array) -> jax.Array:
     """‖log R‖ used by the velocity-adaptive fusion weight
     (ElasticFusion.cpp:371-383: rodrigues2(rot).norm())."""

@@ -29,6 +29,7 @@ from .ops.odometry import (
     project_to_point_cloud,
     rgb_cloud_table,
     rgb_last_table,
+    rgb_static_gates,
     rgb_step,
     so3_neighborhood_table,
     so3_step,
@@ -222,21 +223,29 @@ def get_incremental_transformation(
         dIdx, dIdy = derivs[lvl]
         min_grad2 = (cfg.rgb_grad_thresholds[lvl]) / (SOBEL_SCALE * SOBEL_SCALE)
 
-        # loop-invariant packed gather tables (hoisted out of the GN body)
+        # loop-invariant packed gather tables (hoisted out of the GN body);
+        # the last-frame table carries the cloud so one gather serves both
+        # the correspondence search and the Jacobian point fetch
         prev_table = (
             icp_prev_table(inputs.vmaps_prev_g[lvl], inputs.nmaps_prev_g[lvl])
             if icp_on else None
         )
         last_table = (
-            rgb_last_table(inputs.last_depths[lvl], inputs.last_images[lvl])
+            rgb_last_table(inputs.last_depths[lvl], inputs.last_images[lvl],
+                           cloud)
             if rgb_on else None
         )
-        cloud_table = rgb_cloud_table(cloud) if rgb_on else None
+        cloud_table = None
+        static_gates = (
+            rgb_static_gates(min_grad2, dIdx, dIdy,
+                             inputs.next_depths[lvl], inputs.next_images[lvl])
+            if rgb_on else None
+        )
 
         def gn_iter(_, carry, lvl=lvl, K=K, Kinv=Kinv, cloud=cloud,
                     dIdx=dIdx, dIdy=dIdy, min_grad2=min_grad2, c=c,
                     prev_table=prev_table, last_table=last_table,
-                    cloud_table=cloud_table):
+                    cloud_table=cloud_table, static_gates=static_gates):
             prev = dict(carry)
             # per-level divergence reference (cpp:406: reset to FLT_MAX)
             lastRGBError = carry["rgb_err_break"]
@@ -252,7 +261,7 @@ def get_incremental_transformation(
                     inputs.last_depths[lvl], inputs.next_depths[lvl],
                     inputs.last_images[lvl], inputs.next_images[lvl],
                     kt, krkinv,
-                    last_table=last_table,
+                    last_table=last_table, static_gates=static_gates,
                 )
                 sigma = corres.sigma_sum
                 rgb_size = corres.count

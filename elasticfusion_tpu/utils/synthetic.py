@@ -30,17 +30,9 @@ def make_scene(n_side: int = 900, seed: int = 0) -> Tuple[np.ndarray, np.ndarray
     )
     pts = np.stack([X.ravel(), Y.ravel(), Z.ravel()], axis=1)
 
-    # procedural texture: smooth multi-scale sinusoids → rich gradients
-    tex = (
-        128
-        + 60 * np.sin(3.0 * X) * np.cos(4.0 * Y)
-        + 40 * np.sin(13.0 * X + 2.0 * Y)
-        + 20 * np.sin(29.0 * (X + Y))
-    )
-    r = np.clip(tex, 1, 255)
-    g = np.clip(255 - tex * 0.7, 1, 255)
-    b = np.clip(tex * 0.5 + 64, 1, 255)
-    cols = np.stack([r.ravel(), g.ravel(), b.ravel()], axis=1).astype(np.uint8)
+    # procedural texture shared with render_analytic (multi-octave — see
+    # _texture for why the high frequencies matter)
+    cols = _texture(X, Y).reshape(-1, 3).astype(np.uint8)
 
     # jitter to avoid aliasing artifacts
     pts += rng.normal(scale=1e-4, size=pts.shape)
@@ -79,6 +71,99 @@ def render_frame(
     return depth_mm.reshape(cam.height, cam.width), rgb.reshape(
         cam.height, cam.width, 3
     )
+
+
+def _height_field(X: np.ndarray, Y: np.ndarray) -> np.ndarray:
+    """Analytic z(x, y) of the bumpy wall used by make_scene."""
+    return (
+        2.0
+        + 0.25 * np.sin(2.1 * X) * np.cos(1.7 * Y)
+        + 0.10 * np.sin(7.3 * X + 1.0)
+        + 0.05 * np.cos(11.0 * Y)
+    )
+
+
+def _texture(X: np.ndarray, Y: np.ndarray) -> np.ndarray:
+    """Multi-octave procedural texture.  The high-frequency octaves matter:
+    photometric tracking gates on gradient magnitude (reduce.cu:657-659,
+    thresholds {5,3,1}), and a smooth texture leaves so few correspondences
+    that the RGB normal equations go ill-conditioned (observed: 1k of 307k
+    pixels pass, and the solve bleeds x-translation into y/z)."""
+    # orientation-balanced octaves: every oblique component has its mirrored
+    # partner, otherwise the aperture problem turns globally-correlated
+    # gradient directions into a systematic cross-axis flow bias
+    tex = (
+        128
+        + 45 * np.sin(3.0 * X) * np.cos(4.0 * Y)
+        + 15 * np.sin(13.0 * X + 2.0 * Y) + 15 * np.sin(13.0 * X - 2.0 * Y)
+        + 10 * np.sin(29.0 * (X + Y)) + 10 * np.sin(29.0 * (X - Y))
+        + 18 * np.sin(71.0 * X + 0.7) * np.cos(53.0 * Y)
+        + 6 * np.sin(131.0 * X - 61.0 * Y) + 6 * np.sin(131.0 * X + 61.0 * Y)
+        + 28 * np.sin(293.0 * X + 1.3) * np.cos(271.0 * Y)
+        + 11 * np.sin(407.0 * X - 389.0 * Y + 0.5)
+        + 11 * np.sin(407.0 * X + 389.0 * Y + 0.5)
+    )
+    # channels must CORRELATE in luminance: with g = 255 - 0.7 tex the
+    # 0.299r+0.587g+0.114b intensity cancels to a nearly flat ~[133,157]
+    # band and photometric tracking starves (measured: 2k of 307k pixels
+    # pass the gradient gate, invariant to texture amplitude)
+    r = np.clip(tex, 1, 255)
+    g = np.clip(tex * 0.85 + 20, 1, 255)
+    b = np.clip(255 - tex * 0.4, 1, 255)
+    return np.stack([r, g, b], axis=-1)
+
+
+def render_analytic(T_wc: np.ndarray, cam: CameraConfig,
+                    iters: int = 30) -> Tuple[np.ndarray, np.ndarray]:
+    """Exact per-pixel ray/surface intersection with the analytic bumpy-wall
+    surface z = h(x, y): depth is noise-free up to the uint16-mm
+    quantization, unlike `render_frame`'s point-splat z-buffer (which
+    carries ~mm sampling noise).  Use for tight odometry accuracy bounds
+    (SURVEY.md §4: closed-form scenes for open-loop odometry)."""
+    H, W = cam.height, cam.width
+    u, v = np.meshgrid(np.arange(W, dtype=np.float64),
+                       np.arange(H, dtype=np.float64))
+    d_cam = np.stack(
+        [(u - cam.cx) / cam.fx, (v - cam.cy) / cam.fy, np.ones_like(u)], axis=-1
+    )
+    R, t = T_wc[:3, :3], T_wc[:3, 3]
+    d = d_cam @ R.T                      # world-frame ray directions
+    c = t[None, None, :]
+
+    # solve c_z + s*d_z = h(c_x + s*d_x, c_y + s*d_y) by damped fixed-point /
+    # secant iteration in the ray parameter s (the surface is a mild height
+    # field over z≈2, so this converges fast for near-frontal views)
+    dz = d[..., 2]
+    safe_dz = np.where(np.abs(dz) > 1e-6, dz, 1e-6)
+    s = (2.0 - c[..., 2]) / safe_dz
+
+    def g(s):
+        p = c + s[..., None] * d
+        return p[..., 2] - _height_field(p[..., 0], p[..., 1])
+
+    s1 = s + 1e-3
+    g0, g1 = g(s), g(s1)
+    for _ in range(iters):
+        denom = g1 - g0
+        denom = np.where(np.abs(denom) > 1e-12, denom, 1e-12)
+        s2 = s1 - g1 * (s1 - s) / denom
+        s, g0 = s1, g1
+        s1 = s2
+        g1 = g(s1)
+
+    p = c + s1[..., None] * d
+    p_cam = (p - t[None, None, :]) @ R   # world -> camera
+    z = p_cam[..., 2]
+    # in-bounds surface extent (make_scene covers x in [-2,2], y in [-1.5,1.5])
+    valid = (
+        (np.abs(g1) < 1e-6) & (z > 0.3)
+        & (np.abs(p[..., 0]) < 2.0) & (np.abs(p[..., 1]) < 1.5)
+    )
+    depth_mm = np.where(valid, np.clip(z * 1000.0, 0, 65535), 0).astype(np.uint16)
+    rgb = np.where(
+        valid[..., None], _texture(p[..., 0], p[..., 1]), 0
+    ).astype(np.uint8)
+    return depth_mm, rgb
 
 
 def pose_from_xyzrpy(
