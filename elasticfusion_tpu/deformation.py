@@ -328,13 +328,14 @@ class HostConstraint:
 
 
 @functools.partial(jax.jit, static_argnames=("rate",))
-def _sample_every(pos, init_t, rate: int):
-    """Every rate-th surfel's (position [M,3], init time [M]) — device-side
-    subsample of the map (the GPU sample.geom pass's equivalent).  Uses an
-    explicit index gather: a stride-5000 slice lowers to a ~250 ms scalar
-    walk on TPU, the small gather is microseconds."""
+def _sample_every(pos, init_t, count, rate: int):
+    """Every rate-th surfel's (position [M,3], init time [M], live count) —
+    device-side subsample of the map (the GPU sample.geom pass's
+    equivalent).  Uses an explicit index gather: a stride-5000 slice lowers
+    to a ~250 ms scalar walk on TPU, the small gather is microseconds.  The
+    count passes through so the caller holds an un-donated copy."""
     idx = jnp.arange(0, pos.shape[1], rate, dtype=jnp.int32)
-    return jnp.take(pos, idx, axis=1).T, jnp.take(init_t, idx)
+    return jnp.take(pos, idx, axis=1).T, jnp.take(init_t, idx), count + 0
 
 
 class Deformation:
@@ -351,6 +352,9 @@ class Deformation:
         self.constraints: List[HostConstraint] = []
         self.last_deform_time = 0
         self.deforms = 0
+        self._pending = None
+        self._pending_from = None
+        self._stale = False
 
     # -- graph (re)initialization -------------------------------------------
     def sample_graph_model(self, m: SurfelMap) -> None:
@@ -358,31 +362,52 @@ class Deformation:
         node time = surfel init time; temporal order is guaranteed by the
         map's append-ordered layout (Deformation.cpp:294-297 asserts it).
 
-        The subsample happens ON DEVICE (static every-rate-th slice over
-        capacity) so only ~kilobytes cross to the host, not the 12 MB map."""
-        n = int(m.count)
+        LAZY: per frame this enqueues one small device gather and keeps the
+        handles; the host graph (kNN tables, device uploads) is only built
+        when a loop closure actually optimizes (`_materialize`).  Building
+        it every frame cost ~300 ms/frame in tiny dispatches and syncs."""
+        self._pending = _sample_every(m.pos, m.init_t, m.count, self.sample_rate)
+        self._pending_from = None
+        self._stale = True
+
+    def sample_graph_from(self, other: "Deformation") -> None:
+        """Resample at 1/5 rate from another deformation's node set
+        (sampleGraphFrom, Deformation.cpp:209-230) — lazily, see above."""
+        self._pending = None
+        self._pending_from = other
+        self._stale = True
+
+    def _materialize(self) -> None:
+        """Resolve the deferred sampling into an initialized graph."""
+        if not self._stale:
+            return
+        self._stale = False
+        if self._pending_from is not None:
+            other = self._pending_from
+            other._materialize()
+            if other.graph is None:
+                self.graph = None
+                return
+            n = int(other.graph.n_nodes)
+            idx = np.arange(0, n, 5)
+            if len(idx) <= K_NEIGHBOURS:
+                self.graph = None
+                return
+            pos = np.asarray(other.graph.pos)[idx]
+            times = np.asarray(other.graph.times)[idx]
+            self._init_graph(pos, times)
+            return
+        if self._pending is None:
+            self.graph = None
+            return
+        pos_sub, times_sub, count = self._pending
+        n = int(count)
         n_idx = (n + self.sample_rate - 1) // self.sample_rate
         if n_idx <= K_NEIGHBOURS:
             self.graph = None
             return
-        pos_sub, times_sub = _sample_every(m.pos, m.init_t, self.sample_rate)
         pos = np.asarray(pos_sub)[:n_idx][: self.node_capacity]
         times = np.asarray(times_sub)[:n_idx][: self.node_capacity]
-        self._init_graph(pos, times)
-
-    def sample_graph_from(self, other: "Deformation") -> None:
-        """Resample at 1/5 rate from another deformation's node set
-        (sampleGraphFrom, Deformation.cpp:209-230)."""
-        if other.graph is None:
-            self.graph = None
-            return
-        n = int(other.graph.n_nodes)
-        idx = np.arange(0, n, 5)
-        if len(idx) <= K_NEIGHBOURS:
-            self.graph = None
-            return
-        pos = np.asarray(other.graph.pos)[idx]
-        times = np.asarray(other.graph.times)[idx]
         self._init_graph(pos, times)
 
     def _init_graph(self, pos: np.ndarray, times: np.ndarray) -> None:
@@ -428,6 +453,7 @@ class Deformation:
         """Deformation::constrain (Deformation.cpp:88-207).  Returns
         (accepted, new fern poses, new pose history, relative constraints)
         — the graph itself stays in self.graph for clean() to apply."""
+        self._materialize()
         if self.graph is None or not self.constraints:
             self.constraints.clear()
             return False, fern_poses, pose_history, []

@@ -67,14 +67,18 @@ def _downsample(img: np.ndarray, factor: int) -> np.ndarray:
 def _to_small(img, verts, norms, height, width, factor):
     """Accept either full-resolution views or views already decimated on
     device (engine._decimate_views) — the latter avoids an ~8 MB/frame
-    device->host transfer."""
+    device->host transfer.  Device arrays come back in ONE batched get."""
+    import jax
+
+    if hasattr(img, "devices"):
+        img, verts, norms = jax.device_get((img, verts, norms))
     img = np.asarray(img)
     if img.shape[0] != height:
         img = _downsample(img, factor)
         verts = _downsample(np.asarray(verts), factor)
         norms = _downsample(np.asarray(norms), factor)
     return (
-        np.clip(np.asarray(img), 0, 255).astype(np.uint8),
+        np.clip(img, 0, 255).astype(np.uint8),
         np.asarray(verts, np.float32),
         np.asarray(norms, np.float32),
     )
