@@ -530,7 +530,9 @@ class Engine:
         if self.tick == 1:
             raw_m, filt_m = _preprocess(depth_d, cfg)
             n_px = cfg.camera.width * cfg.camera.height
-            cap0 = _next_bucket(2 * n_px, cfg.max_surfels)
+            # initial bucket: first frame fills at most n_px slots and every
+            # per-surfel op costs O(capacity) — start tight, grow on demand
+            cap0 = _next_bucket(n_px + n_px // 4, cfg.max_surfels)
             self.map = _init_map(raw_m, filt_m, rgb_d, cfg, cap0)
             self._count_est = cfg.camera.width * cfg.camera.height
             self._so3_hist = _coarse_intensity(rgb_d, cfg)  # initFirstRGB

@@ -186,7 +186,9 @@ def fuse(
     us = jnp.floor(pos_cs[0] * cam.fx / safe_zs + cam.cx).astype(jnp.int32)
     vs = jnp.floor(pos_cs[1] * cam.fy / safe_zs + cam.cy).astype(jnp.int32)
     proj_ok = (zs > 0) & (us >= 0) & (vs >= 0) & (us < W) & (vs < H)
-    wflat = jnp.clip(vs, 0, H - 1) * W + jnp.clip(us, 0, W - 1)
+    wflat = jnp.where(
+        proj_ok, jnp.clip(vs, 0, H - 1) * W + jnp.clip(us, 0, W - 1), 0
+    )
     slot_ids = jax.lax.broadcasted_iota(jnp.int32, (cap, 1), 0).squeeze(-1)
     got = packed_gather(
         (pred.index,
@@ -334,7 +336,12 @@ def clean(
             qx = px + ix
             qy = py + iy
             inb = (qx >= 0) & (qx < W) & (qy >= 0) & (qy < H)
-            flat = jnp.clip(qy, 0, H - 1) * W + jnp.clip(qx, 0, W - 1)
+            # dead / out-of-view surfels all gather pixel 0: their rows are
+            # masked anyway and the uniform address keeps the gather
+            # cache-friendly (capacity is typically ~2-3x the live count)
+            flat = jnp.where(
+                in_view, jnp.clip(qy, 0, H - 1) * W + jnp.clip(qx, 0, W - 1), 0
+            )
             c_flag, c_z, c_x, c_y, c_it = packed_gather(
                 (flag_px, pred.vert[2], pred.vert[0], pred.vert[1],
                  pred.init_t),

@@ -139,8 +139,8 @@ def predict_indices(
     winner = _point_raster(pos_c, gate, cam, live)
 
     H, W = cam.height, cam.width
-    idx = jnp.clip(winner.reshape(-1), 0, N - 1)
     empty = (winner == INVALID_ID).reshape(-1)
+    idx = jnp.where(empty, 0, jnp.clip(winner.reshape(-1), 0, N - 1))
 
     ch = packed_gather(
         (pos_c[0], pos_c[1], pos_c[2], normal_c[0], normal_c[1], normal_c[2],
@@ -166,8 +166,8 @@ def _gather_surfel_channels(
     """Gather per-pixel surfel attributes for an id image [H,W] (INVALID_ID
     = empty).  Returns dict of [.,H,W] channel images."""
     H, W = pid.shape
-    idx = jnp.clip(pid.reshape(-1), 0, m.capacity - 1)
     empty = (pid == INVALID_ID).reshape(-1)
+    idx = jnp.where(empty, 0, jnp.clip(pid.reshape(-1), 0, m.capacity - 1))
 
     ch = packed_gather(
         (pos_c[0], pos_c[1], pos_c[2], normal_c[0], normal_c[1], normal_c[2],

@@ -322,6 +322,11 @@ def get_incremental_transformation(
                 A, b = gr.A, gr.b
 
             result = solve_6x6(A, b)
+            # convergence exit: a sub-micron/sub-microradian update cannot
+            # change the result; the while_loop stops early (the reference
+            # always runs the fixed {10,5,4} budget — pure speed, no
+            # accuracy change)
+            stop = stop | (jnp.linalg.norm(result) < 1e-6)
 
             # computeUpdateSE3 (OdometryProvider.h:73-96): left-multiply
             Rt_up = (
@@ -352,10 +357,18 @@ def get_incremental_transformation(
                 for k in new
             }
 
+        def gn_cond(state):
+            i, carry = state
+            return (i < iters[lvl]) & ~carry["stop"]
+
+        def gn_body(state):
+            i, carry = state
+            return i + 1, gn_iter(i, carry)
+
         carry = dict(carry)
         carry["stop"] = jnp.bool_(False)
         carry["rgb_err_break"] = jnp.float32(3.4e38)
-        carry = jax.lax.fori_loop(0, iters[lvl], gn_iter, carry)
+        _, carry = jax.lax.while_loop(gn_cond, gn_body, (jnp.int32(0), carry))
 
     Rcurr, tcurr = carry["Rcurr"], carry["tcurr"]
 
