@@ -68,7 +68,6 @@ class EngineConfig:
     # per-level squared gradient-magnitude thresholds {5,3,1}² (cpp:111-114)
     rgb_grad_thresholds: Tuple[float, float, float] = (25.0, 9.0, 1.0)
     translation_sanity: float = 0.3      # m, reject jumps (cpp:555-558)
-    so3_step_size_px: float = 0.0        # unused placeholder (parity)
 
     # --- depth preprocessing ---
     depth_factor: float = 1000.0         # uint16 mm → m

@@ -419,7 +419,11 @@ class Deformation:
         n = len(pos)
         pos_pad = np.zeros((cap, 3), np.float32)
         pos_pad[:n] = pos
-        times_pad = np.zeros((cap,), np.float32)
+        # dead slots MUST be +inf: weight_points binary-searches the timeline
+        # assuming the tail sorts above every live time (a zero tail makes
+        # searchsorted return `capacity` for every query, collapsing the
+        # temporal window onto the newest nodes)
+        times_pad = np.full((cap,), np.inf, np.float32)
         times_pad[:n] = times
         self.graph = g._replace(
             pos=jnp.asarray(pos_pad),

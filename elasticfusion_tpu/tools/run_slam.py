@@ -40,6 +40,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-ft", dest="fern", type=float, default=0.3095)
     p.add_argument("-t", dest="time_delta", type=int, default=200)
     p.add_argument("-s", dest="skip", type=int, default=0, help="fast-forward frames")
+    p.add_argument("-fs", dest="frameskip", action="store_true",
+                   help="skip frames when a frame takes >33.3ms "
+                        "(MainController.cpp:249-251)")
+    p.add_argument("-stats", dest="stats", default=None,
+                   help="per-frame residual/inlier/timing time-series (JSONL)")
     p.add_argument("-ol", dest="open_loop", action="store_true",
                    help="open loop (no loop closures)")
     p.add_argument("-rl", dest="reloc", action="store_true")
@@ -101,6 +106,8 @@ def main(argv=None) -> int:
 
     eng = Engine(cfg)
     n_done = 0
+    n_skipped = 0
+    stats_f = open(args.stats, "w") if args.stats else None
     t0 = time.perf_counter()
     while reader.has_more():
         if args.max_frames is not None and n_done >= args.max_frames:
@@ -108,6 +115,31 @@ def main(argv=None) -> int:
         f = reader.get_next()
         res = eng.process_frame(f.rgb, f.depth_mm, timestamp=f.timestamp)
         n_done += 1
+        if stats_f is not None:
+            sw = eng.stopwatch.timings
+            stats_f.write(json.dumps({
+                "tick": eng.tick, "ts": f.timestamp,
+                "icp_error": res.icp_error, "icp_count": res.icp_count,
+                "icp_err_thresh": cfg.icp_error_threshold,
+                "icp_count_thresh": cfg.icp_count_threshold,
+                "fused": res.fused, "lost": res.lost,
+                "deforms": eng.deforms, "fern_deforms": eng.fern_deforms,
+                "run_ms": round(sw.get("Run", 0.0), 2),
+                "odom_ms": round(sw.get("odom", 0.0), 2),
+                "fuse_ms": round(sw.get("Fuse", 0.0), 2),
+            }) + "\n")
+        # frameskip controller (MainController.cpp:249-251): a frame that
+        # overran the 33.3 ms budget drops the frames a live camera would
+        # have produced in the meantime
+        if args.frameskip and not res.lost:
+            run_ms = eng.stopwatch.timings.get("Run", 0.0)
+            if run_ms > 33.33:
+                burn = int(run_ms / 33.33)
+                for _ in range(burn):
+                    if not reader.has_more():
+                        break
+                    reader.get_next()
+                    n_skipped += 1
         if n_done % 50 == 0:
             dt = time.perf_counter() - t0
             print(
@@ -118,6 +150,8 @@ def main(argv=None) -> int:
                 flush=True,
             )
     wall = time.perf_counter() - t0
+    if stats_f is not None:
+        stats_f.close()
 
     if n_done == 0:
         print(json.dumps({"error": "no frames decoded", "frames": 0}))
@@ -128,6 +162,7 @@ def main(argv=None) -> int:
     n_ply = eng.save_ply(base + ".ply")
     stats = {
         "frames": n_done,
+        "frames_skipped": n_skipped,
         "fps": round(n_done / wall, 3),
         "surfels": eng.surfel_count,
         "ply_vertices": n_ply,

@@ -2,8 +2,8 @@
 (/root/reference/Core/Utils/Stopwatch.h).
 
 TICK/TOCK macros become tick()/tock() calls keeping millisecond spans; the
-frameskip controller reads timings["Run"] exactly like
-MainController.cpp:249-251, so this is load-bearing, not just telemetry.
+`-fs` frameskip controller in tools/run_slam.py reads timings["Run"] exactly
+like MainController.cpp:249-251, so this is load-bearing, not just telemetry.
 `send_all()` emits the reference's UDP packet format
 ([int32 size][uint64 signature][type u8, name\\0, float ms]*,
 Stopwatch.h:156-201) so the external StopwatchViewer keeps working.

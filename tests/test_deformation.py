@@ -144,3 +144,53 @@ def test_apply_to_poses():
     )
     R = new_poses[0][1][:3, :3]
     np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-6)
+
+
+def test_temporal_window_at_production_capacity():
+    """Regression: at node_capacity=1024 with only ~60 live nodes, the padded
+    tail of the node timeline must sort ABOVE every live time so that
+    searchsorted brackets the query.  A zero tail made every query resolve to
+    the newest lookback window regardless of its timestamp (the reference's
+    temporal association, DeformationGraph.cpp:268-373, silently vanished)."""
+    n = 60
+    d = _line_graph(n=n, cap=1024)
+    g = d.graph
+    assert np.isinf(np.asarray(g.times)[n:]).all()
+
+    # early-, mid-, and late-time queries: the chosen window must bracket the
+    # query time (contain the temporally-nearest node), not the newest nodes
+    for x in (1.0, 7.0, 13.0):
+        t = x / 0.25 * 100.0
+        nearest = int(round(x / 0.25))
+        pts = jnp.asarray([[x, 0.0, 0.0]], jnp.float32)
+        tq = jnp.asarray([t], jnp.float32)
+        nodes, w = weight_points(pts, tq, g)
+        nodes = np.asarray(nodes)[0]
+        w = np.asarray(w)[0]
+        assert nearest in nodes, (
+            f"query t={t}: window {sorted(nodes)} misses nearest node {nearest}"
+        )
+        # all chosen nodes lie within the lookback window of the nearest node
+        assert np.all(np.abs(nodes - nearest) <= 20), nodes
+        np.testing.assert_allclose(w.sum(), 1.0, atol=1e-5)
+
+
+def test_constrain_early_time_at_production_capacity():
+    """An early-time constraint on a 1024-capacity graph must deform the
+    early nodes, leaving the newest nodes untouched."""
+    n = 60
+    d = _line_graph(n=n, cap=1024)
+    for xi in np.linspace(1.0, 3.0, 6):
+        src = np.array([xi, 0.0, 0.0])
+        t = xi / 0.25 * 100.0
+        d.add_constraint(src, src + np.array([0.0, 0.1, 0.0]), t, t)
+    ok, _, _, _ = d.constrain([], time=7000, fern_match=False,
+                              pose_history=[], relax_graph=False)
+    assert ok
+    g = d.graph
+    t_early = np.asarray(g.t[2:14])
+    assert np.abs(t_early).max() > 0.05, "early nodes did not move"
+    # E_reg smoothly decays the motion along the temporal chain; the far end
+    # must see an order of magnitude less motion than the constrained region
+    t_late = np.asarray(g.t[40:n])
+    assert np.abs(t_late).max() < 0.02, "late nodes moved for an early constraint"
