@@ -25,7 +25,7 @@ def main():
     cam = CameraConfig()  # 640x480, fx=fy=528
     cfg = EngineConfig(
         camera=cam, max_surfels=1 << 21, confidence_threshold=0.3,
-        closeLoops=True,
+        closeLoops=True, pipeline_depth=2,
     )
     eng = Engine(cfg)
 
@@ -45,7 +45,8 @@ def main():
     for i in range(n_warm, n_warm + n_bench):
         d, r = frames[i]
         eng.process_frame(r, d, timestamp=i)
-    # drain the async queue before stopping the clock
+    # drain the frame pipeline + async queue before stopping the clock
+    eng.flush()
     _ = eng.surfel_count
     dt = (time.perf_counter() - t0) / n_bench
 

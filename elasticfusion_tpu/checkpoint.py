@@ -16,6 +16,8 @@ FORMAT_VERSION = 1
 
 
 def save_checkpoint(path: str | Path, engine) -> None:
+    if hasattr(engine, "flush"):
+        engine.flush()   # drain the frame pipeline so host state is current
     m = engine.map
     data = {
         "version": FORMAT_VERSION,

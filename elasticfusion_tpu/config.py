@@ -114,6 +114,13 @@ class EngineConfig:
     mesh_shape: Optional[Tuple[int, ...]] = None  # None → single device
     mesh_axes: Tuple[str, ...] = ("map",)
 
+    # --- host/device pipelining ---
+    # Frames the host lets run ahead before reading a frame's results: 0 =
+    # synchronous reference-ordered semantics (one sync per frame); 2 hides
+    # the device-tunnel completion latency entirely (loop-closure decisions
+    # then land up to 2 frames late and are repaired by _apply_closure).
+    pipeline_depth: int = 0
+
     # --- misc ---
     seed: int = 0
 

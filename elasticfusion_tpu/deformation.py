@@ -370,6 +370,14 @@ class Deformation:
         self._pending_from = None
         self._stale = True
 
+    def set_sampled(self, pos_sub, times_sub, count) -> None:
+        """Accept a node sample computed inside the per-frame device program
+        (engine returns `_sample_every`'s output) instead of dispatching a
+        separate gather — zero extra dispatches per frame."""
+        self._pending = (pos_sub, times_sub, count)
+        self._pending_from = None
+        self._stale = True
+
     def sample_graph_from(self, other: "Deformation") -> None:
         """Resample at 1/5 rate from another deformation's node set
         (sampleGraphFrom, Deformation.cpp:209-230) — lazily, see above."""

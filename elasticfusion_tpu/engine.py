@@ -3,20 +3,34 @@
 
 `process_frame` mirrors the reference pipeline (ElasticFusion.cpp:270-607,
 SURVEY.md §3.1): preprocess -> frame-to-model tracking -> predict ->
-[loop closures] -> fuse -> clean -> sample graph -> predict.  The host side
-is a thin Python orchestrator (the idiomatic TPU analog of the reference's
-C++ driving CUDA/GL); all per-frame compute runs in a handful of jitted
-device programs with `tick`/pose passed as traced values so nothing
-recompiles after frame 2.
+[loop closures] -> fuse -> clean -> sample graph -> predict.
 
-Loop closure subsystems (ferns / deformation) plug in via closeLoops —
-see ferns.py and deformation.py.
+Pipelined host/device architecture (TPU-first, round 2): on this stack a
+device *dispatch* is ~free but any host *sync* on a fresh result costs a full
+RPC round trip (~30 ms measured through the device tunnel) — three syncs per
+frame is the whole 30 Hz budget.  So the per-frame work is ONE jitted device
+program (`_frame_main`) whose every control decision the reference makes on
+the CPU between kernels (denseEnough fill-in select, velocity weighting,
+tracking-failure gates, inactive-model existence) is computed on-device, and
+the host reads each frame's small outputs only `cfg.pipeline_depth` frames
+later, when they are already finished and the read is free.  Loop-closure
+*decisions* (fern DB retrieval, deformation Gauss-Newton acceptance) still
+happen on the host — they are rare events — and are applied through a
+deferred repair program (`_apply_closure`) that deforms the map, rigidly
+corrects everything fused since the closure frame (those frames fused at the
+pre-correction pose; the reference corrects the pose *before* fusing,
+ElasticFusion.cpp:410-444, which a pipelined engine cannot), and regenerates
+the carried prediction at the corrected pose.
+
+With `pipeline_depth=0` every frame is finished synchronously inside
+`process_frame` — reference-ordered semantics, one sync per frame.
 """
 
 from __future__ import annotations
 
 import functools
-from dataclasses import dataclass, field
+from collections import deque
+from dataclasses import dataclass
 from typing import List, Optional, Tuple
 
 import jax
@@ -25,18 +39,21 @@ import numpy as np
 
 from .config import EngineConfig
 from .ops.fillin import fill_all
-from .ops.fuse import clean, fuse
+from .ops.fuse import FuseStats, clean, fuse
 from .ops.preprocess import bilateral_filter, metricise_depth, pyr_down_intensity, rgb_to_intensity
 from .ops.splat import Prediction, combined_predict, predict_indices, synthesize_depth
-from .se3 import np_orthonormalize
+from .se3 import np_orthonormalize, se3_log_norm
 from .surfels import SurfelMap, init_map_from_frame
 from .tracking import (
     OdometryInputs,
+    TrackingResult,
     build_current_frame_pyramids,
     build_model_pyramids,
     get_incremental_transformation,
 )
 from .utils.stopwatch import Stopwatch
+
+CONS_SAMPLE = 20  # constraint-source subsampling (ElasticFusion.cpp:62)
 
 
 # ---------------------------------------------------------------------------
@@ -135,16 +152,6 @@ def _track(
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
-def _predict_view(m: SurfelMap, T_wc, time, max_time, cfg: EngineConfig):
-    """Bare combinedPredict at explicit (time, maxTime) — used for the
-    INACTIVE model half (ElasticFusion.cpp:450-459)."""
-    return combined_predict(
-        m, T_wc, cfg.camera, time, max_time, cfg.time_delta,
-        cfg.confidence_threshold, cfg.max_depth_processed,
-    )
-
-
-@functools.partial(jax.jit, static_argnames=("cfg",))
 def _model_to_model(
     new_vertex, new_normal, new_image,
     old_vertex, old_normal, old_image,
@@ -176,48 +183,13 @@ def _model_to_model(
     return get_incremental_transformation(inputs, m2m_cfg)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "fern_accepted"))
-def _fuse_and_clean_deformed(
-    m: SurfelMap, T_wc, tick, rgb, depth_raw_m, depth_filt_m, weighting,
-    graph, fern_accepted: bool, cfg: EngineConfig,
-):
-    """The fuse/clean path of a deformation tick: synthesize old-model depth
-    for timestamp refresh, apply the graph to every surfel inside clean
-    (ElasticFusion.cpp:554-585)."""
-    from .deformation import apply_graph_to_surfels
-
-    cam = cfg.camera
-    pred = predict_indices(m, T_wc, cam, tick, cfg.time_delta, cfg.max_depth_processed)
-    m2, stats = fuse(
-        m, pred, T_wc, tick, rgb, depth_raw_m, depth_filt_m, cam,
-        cfg.max_depth_processed, weighting,
-    )
-    pred2 = predict_indices(m2, T_wc, cam, tick, cfg.time_delta, cfg.max_depth_processed)
-    depth_synth = None
-    if not fern_accepted:
-        # time=tick, maxTime=tick-timeDelta, timeDelta=uint16-max (cpp:561-569)
-        depth_synth = synthesize_depth(
-            m2, T_wc, cam, tick, tick - cfg.time_delta, 65535,
-            cfg.confidence_threshold, cfg.max_depth_processed,
-        )
-    deformed_pos, deformed_nrm = apply_graph_to_surfels(m2, graph)
-    m3 = clean(
-        m2, pred2, T_wc, tick, cam, cfg.confidence_threshold, cfg.time_delta,
-        cfg.max_depth_processed, cfg.unstable_age,
-        depth_synth=depth_synth, deformed=deformed_pos,
-        deformed_normal=deformed_nrm, fern_accepted=fern_accepted,
-    )
-    return m3, stats
-
-
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def _fuse_and_clean(
     m: SurfelMap, T_wc, tick, rgb, depth_raw_m, depth_filt_m, weighting,
     cfg: EngineConfig,
 ):
-    """predictIndices -> fuse -> predictIndices -> clean (cpp:536-585),
-    without a deformation graph (the deformed path runs unjitted pieces in
-    Deformation)."""
+    """predictIndices -> fuse -> predictIndices -> clean (cpp:536-585) as a
+    standalone program — used by the external-pose (ground truth) path."""
     cam = cfg.camera
     pred = predict_indices(
         m, T_wc, cam, tick, cfg.time_delta, cfg.max_depth_processed
@@ -248,10 +220,9 @@ def slam_step(
     cfg: EngineConfig,
 ):
     """One whole SLAM frame as a single jitted device program: preprocess ->
-    track -> fuse -> clean -> predict(+fill-in).  This is the multi-chip
-    unit (sharded over the surfel axis via parallel/) and the minimum-
-    dispatch fast path; the Engine class adds the host-side orchestration
-    the jitted step can't hold (loop closures, relocalization control flow).
+    track -> fuse -> clean -> predict(+fill-in).  Retained as the minimal
+    sharding/compile unit (the driver entry point and parallel tests);
+    the Engine's own per-frame program is `_frame_main`, a superset.
 
     Returns (map', T_curr, so3_hist', (vertex, normal, image) fill-in,
     prediction, dense_frac, tracking stats)."""
@@ -290,7 +261,7 @@ def slam_step(
 def _decimate_views(img, vtx, nrm, factor: int):
     """Nearest decimation at output-pixel centres for the fern views
     (the reference's Resize GPU pass, Resize.cpp:69-146) — done on device so
-    only ~100 KB crosses to the host."""
+    only ~100 KB crosses to the host, and only when a fern event fires."""
     off = factor // 2
     return (
         img[off::factor, off::factor],
@@ -299,25 +270,60 @@ def _decimate_views(img, vtx, nrm, factor: int):
     )
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def _frame_a(
+def _sample_nodes(m: SurfelMap, rate: int):
+    """Every rate-th surfel's (position, init time) — the deformation-graph
+    node sample (sample.geom:33-39), traced inside the frame program."""
+    idx = jnp.arange(0, m.pos.shape[1], rate, dtype=jnp.int32)
+    return jnp.take(m.pos, idx, axis=1).T, jnp.take(m.init_t, idx)
+
+
+def _empty_tracking_result():
+    z = jnp.float32(0.0)
+    return TrackingResult(
+        T_curr=jnp.eye(4, dtype=jnp.float32),
+        icp_error=z, icp_count=z, rgb_error=z, rgb_count=z,
+        so3_error=z, so3_count=z,
+        A=jnp.zeros((6, 6), jnp.float32), b=jnp.zeros((6,), jnp.float32),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
+def _frame_main(
     m: SurfelMap,
-    T_prev,                       # (4,4) f32
-    so3_hist,
-    pred_vertex, pred_normal, pred_image,   # last predict() output
-    fill_vertex, fill_normal, fill_image,   # its fill-in
-    dense_prev,                   # f32 scalar: last predict's coverage
-    depth_mm, rgb,
-    tick, max_time,
-    lost,                         # bool scalar
+    T_prev,                                  # (4,4) f32 carried pose
+    so3_hist,                                # prev frame coarsest intensity
+    pred_vertex, pred_normal, pred_image,    # carried end-of-frame prediction
+    fill_vertex, fill_normal, fill_image,    # its fill-in
+    dense_prev,                              # f32: carried predict coverage
+    depth_mm, rgb,                           # current raw frame
+    tick, max_time,                          # f32 scalars
+    lost,                                    # bool
+    weight_mult,                             # f32 weightMultiplier
+    fern_flat, fern_rgbd,                    # fern encode tables (see ferns)
     cfg: EngineConfig,
 ):
-    """First per-frame device program: preprocess -> frame-to-model tracking
-    (against last prediction or its fill-in, selected on-device by the
-    denseEnough test, ElasticFusion.cpp:256-268,303-315) -> ACTIVE
-    combinedPredict + FillIn at the tracked pose (cpp:387) -> fern-resolution
-    views.  Everything the host needs for loop closure / reloc decisions
-    comes back as small arrays."""
+    """The whole SLAM frame as ONE device program (ElasticFusion.cpp:270-607
+    minus the host-decided loop-closure applications):
+
+      preprocess -> frame-to-model tracking (against the carried prediction or
+      its fill-in, selected on-device by denseEnough, cpp:256-268,303-315) ->
+      velocity fusion weight (cpp:371-383) -> tracking gates (cpp:326-344,
+      on-device; the reference round-trips 29 floats per GN iteration) ->
+      [fuse -> clean] under lax.cond -> end-of-frame combinedPredict + FillIn
+      (cpp:599) -> fern views + on-device fern encoding (Ferns.cpp:108-127) ->
+      deformation node sample (cpp:591-597) -> INACTIVE combinedPredict +
+      model-to-model odometry under lax.cond (cpp:447-471, skipped while the
+      inactive model is empty).
+
+    Loop-closure deviations from the reference's in-frame ordering: ferns and
+    the local (active/inactive) registration consume the END-of-frame
+    prediction rather than the post-track pre-fuse one (cpp:387) — same tick,
+    same pose, one fusion newer — and their *decisions* are made by the host
+    up to pipeline_depth frames later, repaired by `_apply_closure`.
+    """
+    from .ferns import fern_encode_device
+
+    cam = cfg.camera
     raw_m, filt_m = _preprocess(depth_mm, cfg)
 
     use_fill = (dense_prev < 0.75) | jnp.bool_(cfg.frame_to_frame_rgb)
@@ -328,69 +334,207 @@ def _frame_a(
     res, so3_cur = _track(pv, pn, pi, filt_m, rgb, so3_hist, T_prev, cfg, False)
     T = res.T_curr
 
-    # velocity-adaptive fusion weight (cpp:371-383), on-device
-    from .se3 import se3_log_norm
-
+    # velocity-adaptive fusion weight (cpp:371-383)
     T_cp = jnp.linalg.inv(T) @ T_prev
     w = jnp.minimum(
         jnp.maximum(jnp.linalg.norm(T_cp[:3, 3]), se3_log_norm(T_cp)), 0.01
     )
-    weighting = jnp.maximum(1.0 - w / 0.01, 0.5)
+    weighting = jnp.maximum(1.0 - w / 0.01, 0.5) * weight_mult
 
+    # tracking-failure gates on-device (cpp:326-344)
+    if cfg.reloc_mode:
+        Ainv = jnp.linalg.inv(
+            res.A.astype(jnp.float32) + jnp.eye(6, dtype=jnp.float32) * 1e-12
+        )
+        cov_ok = jnp.all(jnp.diag(Ainv) < 1e-4)
+        track_ok = (res.icp_error < 1e-4) & cov_ok
+    else:
+        track_ok = jnp.bool_(True)
+
+    def _with_fuse(mm):
+        pidx = predict_indices(
+            mm, T, cam, tick, cfg.time_delta, cfg.max_depth_processed
+        )
+        m2, stats = fuse(
+            mm, pidx, T, tick, rgb, raw_m, filt_m, cam,
+            cfg.max_depth_processed, weighting,
+        )
+        pidx2 = predict_indices(
+            m2, T, cam, tick, cfg.time_delta, cfg.max_depth_processed
+        )
+        m3 = clean(
+            m2, pidx2, T, tick, cam, cfg.confidence_threshold,
+            cfg.time_delta, cfg.max_depth_processed, cfg.unstable_age,
+        )
+        return m3, stats
+
+    def _no_fuse(mm):
+        z = jnp.int32(0)
+        return mm, FuseStats(matched=z, added=z, count=mm.count)
+
+    if cfg.rgb_only:
+        m, stats = _no_fuse(m)
+    else:
+        m, stats = jax.lax.cond(track_ok & ~lost, _with_fuse, _no_fuse, m)
+
+    # end-of-frame predict (cpp:599) — next frame's tracking target and the
+    # fern/addFrame view source
     pred, vtx, nrm, img, dense = _predict(
         m, T, tick, max_time, filt_m, rgb, lost, cfg
     )
-    fern = _decimate_views(img, vtx, nrm, cfg.fern_pyramid_factor)
-    return raw_m, filt_m, res, so3_cur, weighting, pred, (vtx, nrm, img), dense, fern
 
-
-@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
-def _frame_b(
-    m: SurfelMap,
-    T_wc, tick, rgb, depth_raw_m, depth_filt_m, weighting, max_time,
-    lost,
-    cfg: EngineConfig,
-):
-    """Second per-frame device program: predictIndices -> fuse ->
-    predictIndices -> clean (cpp:536-585), then the end-of-frame predict()
-    (cpp:599) + fill-in + fern views for Ferns::addFrame and next-frame
-    tracking."""
-    m2, stats = _fuse_and_clean(
-        m, T_wc, tick, rgb, depth_raw_m, depth_filt_m, weighting, cfg
+    out = dict(
+        map=m, T=T, so3=so3_cur, res=res, track_ok=track_ok,
+        pred=pred, fill=(vtx, nrm, img), dense=dense, stats=stats,
     )
+
+    if cfg.closeLoops:
+        img_s, vtx_s, nrm_s = _decimate_views(img, vtx, nrm, cfg.fern_pyramid_factor)
+        codes, good = fern_encode_device(img_s, vtx_s, fern_flat, fern_rgbd)
+        node_pos, node_t = _sample_nodes(m, cfg.def_graph_sample_rate)
+
+        # local loop closure precompute (cpp:447-511): skip the INACTIVE
+        # splat + model-to-model solve entirely while no inactive surfel
+        # exists (the common case until the trajectory revisits old space)
+        slot = jax.lax.broadcasted_iota(jnp.int32, (m.capacity, 1), 0).squeeze(-1)
+        inact_exists = jnp.sum(
+            ((slot < m.count)
+             & (m.conf >= cfg.confidence_threshold)
+             & (m.last_t <= tick - cfg.time_delta)).astype(jnp.int32)
+        ) > 0
+
+        H, W = cam.height, cam.width
+        hs, ws = -(-H // CONS_SAMPLE), -(-W // CONS_SAMPLE)
+
+        def _m2m_run(_):
+            old_pred = combined_predict(
+                m, T, cam, jnp.float32(0.0), tick - cfg.time_delta,
+                cfg.time_delta, cfg.confidence_threshold,
+                cfg.max_depth_processed,
+            )
+            icount = jnp.sum((old_pred.depth > 0).astype(jnp.int32))
+            r2 = _model_to_model(
+                pred.vertex, pred.normal, pred.image,
+                old_pred.vertex, old_pred.normal, old_pred.image, T, cfg,
+            )
+            return r2, icount, old_pred.time[::CONS_SAMPLE, ::CONS_SAMPLE]
+
+        def _m2m_skip(_):
+            return (
+                _empty_tracking_result(), jnp.int32(0),
+                jnp.zeros((hs, ws), jnp.float32),
+            )
+
+        m2m, inact_px, cons_ot = jax.lax.cond(
+            inact_exists, _m2m_run, _m2m_skip, 0
+        )
+        out.update(
+            views=(img_s, vtx_s, nrm_s), codes=codes, good=good,
+            node_pos=node_pos, node_t=node_t,
+            m2m=m2m, inact_px=inact_px,
+            cons_pv=pred.vertex[:, ::CONS_SAMPLE, ::CONS_SAMPLE],
+            cons_ot=cons_ot,
+        )
+    return out
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "fern_accepted"), donate_argnums=(0,)
+)
+def _apply_closure(
+    m: SurfelMap,
+    graph,                 # deformation.GraphState (optimized)
+    T_fix,                 # (4,4) f32 world-frame left-correction
+    closure_tick,          # f32: surfels with init_t >= this get the rigid fix
+    T_carried,             # (4,4) f32 current carried pose (pre-fix)
+    tick_now, max_time, lost,
+    depth_mm, rgb,         # latest raw frame (for the re-predict fill-in)
+    fern_flat, fern_rgbd,
+    cfg: EngineConfig,
+    fern_accepted: bool,
+):
+    """Deferred loop-closure repair.  The reference corrects the pose and
+    deforms the map inside the same frame (ElasticFusion.cpp:410-534 +
+    clean's graph application, copy_unstable.vert:132-321); the pipelined
+    engine learns of the acceptance up to pipeline_depth frames later, so
+    this program (a) deforms every surfel older than the closure frame
+    through the optimized graph, (b) rigidly applies the pose correction to
+    surfels fused at/after it (they were fused at the pre-correction poses,
+    which differ by exactly T_fix), (c) refreshes timestamps against the
+    synthesized inactive depth (cpp:561-570), (d) re-cleans, and (e)
+    regenerates the carried prediction/fern state at the corrected pose."""
+    from .deformation import apply_graph_to_surfels
+    from .ferns import fern_encode_device
+
+    cam = cfg.camera
+    raw_m, filt_m = _preprocess(depth_mm, cfg)
+    T_new = (T_fix @ T_carried).astype(jnp.float32)
+
+    deformed_pos, deformed_nrm = apply_graph_to_surfels(m, graph)
+    recent = m.init_t >= closure_tick
+    Rf = T_fix[:3, :3].astype(jnp.float32)
+    tf = T_fix[:3, 3].astype(jnp.float32)
+    rig_pos = Rf @ m.pos + tf[:, None]
+    rig_nrm = Rf @ m.normal
+    new_pos = jnp.where(recent[None], rig_pos, deformed_pos)
+    new_nrm = jnp.where(recent[None], rig_nrm, deformed_nrm)
+
+    depth_synth = None
+    if not fern_accepted:
+        # time=tick, maxTime=tick-timeDelta, timeDelta=uint16-max (cpp:561-569)
+        depth_synth = synthesize_depth(
+            m, T_new, cam, tick_now, tick_now - cfg.time_delta, 65535,
+            cfg.confidence_threshold, cfg.max_depth_processed,
+        )
+
+    m1 = m._replace(pos=new_pos, normal=new_nrm)
+    if depth_synth is not None:
+        # timestamp refresh of deformed surfels vs the synthesized old-model
+        # depth (copy_unstable.vert:305-321)
+        from .ops.gatherpack import packed_gather
+
+        H, W = cam.height, cam.width
+        T_cw_R = T_new[:3, :3].T
+        t = T_new[:3, 3]
+        lp2 = T_cw_R @ (m1.pos - t[:, None])
+        sz = jnp.where(jnp.abs(lp2[2]) > 1e-12, lp2[2], 1.0)
+        x2 = lp2[0] * cam.fx / sz + cam.cx
+        y2 = lp2[1] * cam.fy / sz + cam.cy
+        inb = (
+            (lp2[2] > 0) & (lp2[2] < cfg.max_depth_processed)
+            & (x2 > 0) & (y2 > 0) & (x2 < W) & (y2 < H)
+        )
+        flat = jnp.clip(y2.astype(jnp.int32), 0, H - 1) * W + jnp.clip(
+            x2.astype(jnp.int32), 0, W - 1
+        )
+        (d,) = packed_gather((depth_synth,), flat)
+        refresh = (
+            (m1.conf > cfg.confidence_threshold) & ~recent & inb
+            & (d > 0) & (lp2[2] < d + 0.1)
+        )
+        m1 = m1._replace(
+            last_t=jnp.where(refresh, jnp.float32(tick_now), m1.last_t)
+        )
+
+    pidx = predict_indices(
+        m1, T_new, cam, tick_now, cfg.time_delta, cfg.max_depth_processed
+    )
+    m2 = clean(
+        m1, pidx, T_new, tick_now, cam, cfg.confidence_threshold,
+        cfg.time_delta, cfg.max_depth_processed, cfg.unstable_age,
+    )
+
     pred, vtx, nrm, img, dense = _predict(
-        m2, T_wc, tick, max_time, depth_filt_m, rgb, lost, cfg
+        m2, T_new, tick_now, max_time, filt_m, rgb, lost, cfg
     )
-    fern = _decimate_views(img, vtx, nrm, cfg.fern_pyramid_factor)
-    return m2, stats, pred, (vtx, nrm, img), dense, fern
-
-
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def _frame_c(
-    m: SurfelMap,
-    new_vertex, new_normal, new_image,   # ACTIVE prediction (this frame)
-    T_wc, tick,
-    cfg: EngineConfig,
-):
-    """Local-loop-closure device program: INACTIVE combinedPredict
-    (ElasticFusion.cpp:450-459) + modelToModel odometry (cpp:462-471) in one
-    dispatch.  Returns the odometry result, the inactive depth-pixel count,
-    and the consSample-subsampled constraint source points/time images the
-    host needs (cpp:485-511)."""
-    old_pred = combined_predict(
-        m, T_wc, cfg.camera, jnp.float32(0.0), tick - cfg.time_delta,
-        cfg.time_delta, cfg.confidence_threshold, cfg.max_depth_processed,
+    img_s, vtx_s, nrm_s = _decimate_views(img, vtx, nrm, cfg.fern_pyramid_factor)
+    codes, good = fern_encode_device(img_s, vtx_s, fern_flat, fern_rgbd)
+    node_pos, node_t = _sample_nodes(m2, cfg.def_graph_sample_rate)
+    return dict(
+        map=m2, T=T_new, pred=pred, fill=(vtx, nrm, img), dense=dense,
+        views=(img_s, vtx_s, nrm_s), codes=codes, good=good,
+        node_pos=node_pos, node_t=node_t, count=m2.count,
     )
-    inactive_count = jnp.sum((old_pred.depth > 0).astype(jnp.int32))
-    res = _model_to_model(
-        new_vertex, new_normal, new_image,
-        old_pred.vertex, old_pred.normal, old_pred.image,
-        T_wc, cfg,
-    )
-    CONS_SAMPLE = 20
-    pv = new_vertex[:, ::CONS_SAMPLE, ::CONS_SAMPLE]
-    ot = old_pred.time[::CONS_SAMPLE, ::CONS_SAMPLE]
-    return res, inactive_count, pv, ot
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -398,13 +542,20 @@ def _predict_only(
     m: SurfelMap, T_wc, tick, max_time, depth_filt_m, rgb, lost,
     cfg: EngineConfig,
 ):
-    """predict() + fill-in + fern views without fusion (lost / not-fused
-    frames, and post-deformation refresh)."""
+    """predict() + fill-in + fern views without fusion (first frame,
+    relocalization teleport, checkpoint restore)."""
     pred, vtx, nrm, img, dense = _predict(
         m, T_wc, tick, max_time, depth_filt_m, rgb, lost, cfg
     )
     fern = _decimate_views(img, vtx, nrm, cfg.fern_pyramid_factor)
     return pred, (vtx, nrm, img), dense, fern
+
+
+@jax.jit
+def _encode_views(img_s, vtx_s, fern_flat, fern_rgbd):
+    from .ferns import fern_encode_device
+
+    return fern_encode_device(img_s, vtx_s, fern_flat, fern_rgbd)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -424,6 +575,10 @@ def _coarse_intensity(rgb, cfg: EngineConfig):
 
 @dataclass
 class FrameResult:
+    """Per-frame summary.  With pipeline_depth > 0 the fields describe the
+    most recently FINISHED frame (up to depth frames behind the one just
+    submitted); `flush()` drains the pipeline."""
+
     T_wc: np.ndarray
     tracking_ok: bool
     lost: bool
@@ -458,22 +613,31 @@ class Engine:
         self.stopwatch = Stopwatch()
         self.deforms = 0
         self.fern_deforms = 0
-        # per-frame carried device state
+        # carried device state (producer side of the pipeline)
+        self._T_dev = None          # (4,4) f32 device pose
         self._so3_hist = None       # prev frame coarsest intensity
         self._pred = None           # Prediction from end-of-last-frame predict()
         self._fill = None           # (vertex, normal, image) fill-in maps
         self._dense_dev = None      # f32 scalar device: last predict coverage
-        self._fern_views = None     # decimated (img, vtx, nrm) of last predict
+        self._views = None          # decimated (img, vtx, nrm) of last predict
+        self._codes = None          # device fern codes of last predict
+        self._good = None
+        self._last_frame_dev = None  # (depth_d, rgb_d) of latest dispatch
         self._count_est = 0         # host upper bound on map.count
         self._last_icp_error = 0.0
         self._last_icp_count = 0.0
+        self._last_tracking_ok = True
+        self._last_fused = False
+        # pipeline
+        self._inflight: deque = deque()
+        # accumulated pose correction for frames dispatched before a closure
+        # was applied: (applies_after_tick, 4x4 np.float64)
+        self._pose_fix: Optional[Tuple[int, np.ndarray]] = None
         # loop-closure subsystems (ferns.py / deformation.py)
         self.ferns = None
         self.local_deformation = None
         self.global_deformation = None
         self.relative_cons: list = []
-        self._pending_graph = None    # GraphState to apply in this tick's clean
-        self._fern_accepted = False
         if cfg.closeLoops:
             self.enable_loop_closure()
 
@@ -496,14 +660,26 @@ class Engine:
     # -- public knobs (reference getters/setters, ElasticFusion.h:87-255) ----
     @property
     def surfel_count(self) -> int:
+        self.flush()
         return 0 if self.map is None else int(self.map.count)
 
     @property
     def poses(self) -> List[Tuple[int, np.ndarray]]:
         """Timestamped (possibly deformation-corrected) trajectory."""
+        self.flush()
         return [
             (ts, T) for ts, (_, T) in zip(self.pose_times, self.tick_poses)
         ]
+
+    def flush(self) -> None:
+        """Finish every in-flight frame (host reads + loop-closure logic)."""
+        while self._inflight:
+            self._finish(self._inflight.popleft())
+
+    def _fern_tables(self):
+        if self.ferns is not None:
+            return self.ferns.encode_tables()
+        return jnp.zeros((1,), jnp.int32), jnp.zeros((1, 4), jnp.float32)
 
     def process_frame(
         self,
@@ -516,198 +692,253 @@ class Engine:
         cfg = self.cfg
         sw = self.stopwatch
         sw.tick("Run")
-        # "Preprocess" now spans the host->device frame upload; the bilateral
-        # filter + metricisation run inside the fused per-frame programs
         sw.tick("Preprocess")
         rgb_d = jnp.asarray(rgb)
         depth_d = jnp.asarray(depth_mm)
+        self._last_frame_dev = (depth_d, rgb_d)
         sw.tock("Preprocess")
 
-        fused = False
-        tracking_ok = True
-        raw_m = filt_m = None
-
         if self.tick == 1:
-            raw_m, filt_m = _preprocess(depth_d, cfg)
-            n_px = cfg.camera.width * cfg.camera.height
-            # initial bucket: first frame fills at most n_px slots and every
-            # per-surfel op costs O(capacity) — start tight, grow on demand
-            cap0 = _next_bucket(n_px + n_px // 4, cfg.max_surfels)
-            self.map = _init_map(raw_m, filt_m, rgb_d, cfg, cap0)
-            self._count_est = cfg.camera.width * cfg.camera.height
-            self._so3_hist = _coarse_intensity(rgb_d, cfg)  # initFirstRGB
-            if in_T_wc is not None:
-                self.T_wc = np.asarray(in_T_wc, np.float64)
-            (self._pred, self._fill, self._dense_dev,
-             self._fern_views) = _predict_only(
-                self.map, jnp.asarray(self.T_wc, jnp.float32),
-                jnp.float32(1.0), jnp.float32(1.0), filt_m, rgb_d,
-                jnp.bool_(False), cfg,
+            self._first_frame(depth_d, rgb_d, timestamp, in_T_wc)
+            sw.tock("Run")
+            return self._result()
+
+        if in_T_wc is not None:
+            self._external_pose_frame(
+                depth_d, rgb_d, timestamp, weight_multiplier, in_T_wc
             )
-        else:
-            T_prev = self.T_wc.copy()
-            tick_dev = jnp.float32(self.tick)
-            max_time = (
-                jnp.float32(0.0) if self.last_frame_recovery else tick_dev
+            sw.tock("Run")
+            return self._result()
+
+        # after a checkpoint restore there is no carried prediction yet:
+        # regenerate it from the restored map at the restored pose
+        if self._pred is None or self._T_dev is None:
+            self._regenerate_carried(depth_d, rgb_d)
+
+        self._maybe_grow()
+
+        tick_dev = jnp.float32(self.tick)
+        max_time = jnp.float32(0.0) if self.last_frame_recovery else tick_dev
+        self.last_frame_recovery = False
+        fern_flat, fern_rgbd = self._fern_tables()
+
+        sw.tick("odom")
+        out = _frame_main(
+            self.map, self._T_dev, self._so3_hist,
+            self._pred.vertex, self._pred.normal, self._pred.image,
+            self._fill[0], self._fill[1], self._fill[2],
+            self._dense_dev, depth_d, rgb_d,
+            tick_dev, max_time, jnp.bool_(self.lost),
+            jnp.float32(weight_multiplier),
+            fern_flat, fern_rgbd, cfg,
+        )
+        sw.tock("odom")
+
+        # carried state advances immediately (device handles, no sync)
+        self.map = out["map"]
+        self._T_dev = out["T"]
+        self._so3_hist = out["so3"]
+        self._pred = out["pred"]
+        self._fill = out["fill"]
+        self._dense_dev = out["dense"]
+        if cfg.closeLoops:
+            self._views = out["views"]
+            self._codes, self._good = out["codes"], out["good"]
+
+        self._inflight.append(dict(
+            tick=self.tick, timestamp=timestamp,
+            lost_at_dispatch=self.lost, out=out,
+        ))
+        self._count_est += (cfg.camera.width * cfg.camera.height) // 4
+        if not self.lost:
+            self.tick += 1
+
+        sw.tick("Fuse")
+        while len(self._inflight) > cfg.pipeline_depth:
+            self._finish(self._inflight.popleft())
+        sw.tock("Fuse")
+        sw.tock("Run")
+        return self._result()
+
+    # -- frame variants --------------------------------------------------------
+
+    def _first_frame(self, depth_d, rgb_d, timestamp, in_T_wc):
+        cfg = self.cfg
+        raw_m, filt_m = _preprocess(depth_d, cfg)
+        n_px = cfg.camera.width * cfg.camera.height
+        # initial bucket: first frame fills at most n_px slots and every
+        # per-surfel op costs O(capacity) — start tight, grow on demand
+        cap0 = _next_bucket(n_px + n_px // 4, cfg.max_surfels)
+        self.map = _init_map(raw_m, filt_m, rgb_d, cfg, cap0)
+        self._count_est = n_px
+        self._so3_hist = _coarse_intensity(rgb_d, cfg)  # initFirstRGB
+        if in_T_wc is not None:
+            self.T_wc = np.asarray(in_T_wc, np.float64)
+        self._T_dev = jnp.asarray(self.T_wc, jnp.float32)
+        (self._pred, self._fill, self._dense_dev, self._views) = _predict_only(
+            self.map, self._T_dev, jnp.float32(1.0), jnp.float32(1.0),
+            filt_m, rgb_d, jnp.bool_(False), cfg,
+        )
+        if self.ferns is not None:
+            ff, fr = self._fern_tables()
+            self._codes, self._good = _encode_views(
+                self._views[0], self._views[1], ff, fr
             )
-            weighting_dev = jnp.float32(1.0)
+        self.tick_poses.append((1, self.T_wc.copy()))
+        self.pose_times.append(int(timestamp))
+        if self.local_deformation is not None:
+            self.local_deformation.set_sampled(
+                *_sample_nodes(self.map, cfg.def_graph_sample_rate),
+                self.map.count,
+            )
+            self.global_deformation.sample_graph_from(self.local_deformation)
+        self.tick = 2
 
-            # after a checkpoint restore there is no carried prediction yet:
-            # regenerate it from the restored map at the restored pose
-            if self._pred is None:
-                raw_m, filt_m = _preprocess(depth_d, cfg)
-                self._run_predict(
-                    jnp.asarray(self.T_wc, jnp.float32), tick_dev,
-                    filt_m, rgb_d,
-                )
-            if self._so3_hist is None:
-                self._so3_hist = _coarse_intensity(rgb_d, cfg)
+    def _external_pose_frame(self, depth_d, rgb_d, timestamp,
+                             weight_multiplier, in_T_wc):
+        """Ground-truth-pose path (ElasticFusion.cpp external pose): no
+        tracking, no loop closures (closures are pointless under supplied
+        poses) — synchronous."""
+        cfg = self.cfg
+        self.flush()
+        self._maybe_grow()
+        raw_m, filt_m = _preprocess(depth_d, cfg)
+        T_prev = self.T_wc.copy()
+        self.T_wc = np.asarray(in_T_wc, np.float64)
+        self._T_dev = jnp.asarray(self.T_wc, jnp.float32)
+        self._so3_hist = _coarse_intensity(rgb_d, cfg)
+        # velocity-adaptive fusion weight on host (cpp:371-383)
+        T_cp = np.linalg.inv(self.T_wc) @ T_prev
+        w = min(max(float(np.linalg.norm(T_cp[:3, 3])), _np_se3_log_norm(T_cp)), 0.01)
+        weighting = jnp.float32(max(1.0 - w / 0.01, 0.5) * weight_multiplier)
 
-            if in_T_wc is None:
-                # program A: preprocess + track + predict@tracked-pose + fern
-                # views, one dispatch (cpp:278-402)
-                sw.tick("odom")
-                (raw_m, filt_m, res, so3_cur, weighting_dev, pred, fill,
-                 dense, fern_views) = _frame_a(
-                    self.map,
-                    jnp.asarray(self.T_wc, jnp.float32), self._so3_hist,
-                    self._pred.vertex, self._pred.normal, self._pred.image,
-                    self._fill[0], self._fill[1], self._fill[2],
-                    self._dense_dev, depth_d, rgb_d,
-                    tick_dev, max_time, jnp.bool_(self.lost), cfg,
-                )
-                sw.tock("odom")
-                self._pred = pred
-                self._fill = fill
-                self._dense_dev = dense
-                self._fern_views = fern_views
-                self._so3_hist = so3_cur
-                # one batched device->host read for all per-frame scalars
-                T_np, err_np, cnt_np = jax.device_get(
-                    (res.T_curr, res.icp_error, res.icp_count)
-                )
-                self.T_wc = np_orthonormalize(np.asarray(T_np, np.float64))
-                self._last_icp_error = float(err_np)
-                self._last_icp_count = float(cnt_np)
-
-                tracking_ok = (not cfg.reloc_mode) or self._last_icp_error < 1e-4
-                if cfg.reloc_mode:
-                    tracking_ok = self._reloc_update(res, tracking_ok)
-            else:
-                raw_m, filt_m = _preprocess(depth_d, cfg)
-                self.T_wc = np.asarray(in_T_wc, np.float64)
-                self._so3_hist = _coarse_intensity(rgb_d, cfg)
-                # velocity-adaptive fusion weight on host (cpp:371-383)
-                T_cp = np.linalg.inv(self.T_wc) @ T_prev
-                w = min(
-                    max(float(np.linalg.norm(T_cp[:3, 3])), _se3_log_norm(T_cp)),
-                    0.01,
-                )
-                weighting_dev = jnp.float32(max(1.0 - w / 0.01, 0.5))
-                self._run_predict(
-                    jnp.asarray(self.T_wc, jnp.float32), tick_dev, filt_m, rgb_d
-                )
-
-            weighting = weighting_dev * jnp.float32(weight_multiplier)
-            T_dev = jnp.asarray(self.T_wc, jnp.float32)
-
-            # --- loop closures (ferns / local deformation) ---
-            if cfg.closeLoops and self.ferns is not None:
-                self._close_loops(T_dev, filt_m, rgb_d)
-                T_dev = jnp.asarray(self.T_wc, jnp.float32)
-
-            if (not cfg.rgb_only) and tracking_ok and not self.lost:
-                sw.tick("Fuse")
-                if self._pending_graph is not None:
-                    self.map, stats = _fuse_and_clean_deformed(
-                        self.map, T_dev, tick_dev, rgb_d, raw_m, filt_m,
-                        weighting, self._pending_graph,
-                        self._fern_accepted, cfg,
-                    )
-                    (self._pred, self._fill, self._dense_dev,
-                     self._fern_views) = _predict_only(
-                        self.map, T_dev, tick_dev, max_time, filt_m, rgb_d,
-                        jnp.bool_(self.lost), cfg,
-                    )
-                else:
-                    # program B: fuse/clean + end-of-frame predict (cpp:536-599)
-                    (self.map, stats, self._pred, self._fill, self._dense_dev,
-                     self._fern_views) = _frame_b(
-                        self.map, T_dev, tick_dev, rgb_d, raw_m, filt_m,
-                        weighting, max_time, jnp.bool_(self.lost), cfg,
-                    )
-                sw.tock("Fuse")
-                fused = True
-                # grow to the next capacity bucket before it can overflow.
-                # `int(count)` would synchronize every frame, so track a
-                # host-side UPPER BOUND (fuse appends at most n_px/4, clean
-                # only removes) and read the real count only when the bound
-                # crosses the threshold.
-                cap = self.map.capacity
-                if self._count_est == 0:   # e.g. after checkpoint restore
-                    self._count_est = int(self.map.count)
-                self._count_est += (cfg.camera.width * cfg.camera.height) // 4
-                if cap < cfg.max_surfels and self._count_est > 0.70 * cap:
-                    self._count_est = int(self.map.count)
-                    if self._count_est > 0.70 * cap:
-                        self.map = _grow_map(
-                            self.map, _next_bucket(2 * cap, cfg.max_surfels)
-                        )
-            else:
-                # end-of-frame predict without fusion (lost / gated frames)
-                (self._pred, self._fill, self._dense_dev,
-                 self._fern_views) = _predict_only(
-                    self.map, T_dev, tick_dev, max_time, filt_m, rgb_d,
-                    jnp.bool_(self.lost), cfg,
-                )
-        self._pending_graph = None
-
+        tick_dev = jnp.float32(self.tick)
+        self.map, stats = _fuse_and_clean(
+            self.map, self._T_dev, tick_dev, rgb_d, raw_m, filt_m, weighting, cfg
+        )
+        (self._pred, self._fill, self._dense_dev, self._views) = _predict_only(
+            self.map, self._T_dev, tick_dev, tick_dev, filt_m, rgb_d,
+            jnp.bool_(False), cfg,
+        )
+        self._count_est = int(stats.count)
+        self._last_fused = True
         self.tick_poses.append((self.tick, self.T_wc.copy()))
         self.pose_times.append(int(timestamp))
+        self.tick += 1
 
-        # sample deformation graph nodes from the map (cpp:591-597)
-        if self.local_deformation is not None:
-            sw.tick("sampleGraph")
-            self.local_deformation.sample_graph_model(self.map)
-            if self.global_deformation is not None:
-                self.global_deformation.sample_graph_from(self.local_deformation)
-            sw.tock("sampleGraph")
+    def _regenerate_carried(self, depth_d, rgb_d):
+        cfg = self.cfg
+        raw_m, filt_m = _preprocess(depth_d, cfg)
+        self._T_dev = jnp.asarray(self.T_wc, jnp.float32)
+        tick_dev = jnp.float32(self.tick)
+        max_time = jnp.float32(0.0) if self.last_frame_recovery else tick_dev
+        (self._pred, self._fill, self._dense_dev, self._views) = _predict_only(
+            self.map, self._T_dev, tick_dev, max_time, filt_m, rgb_d,
+            jnp.bool_(self.lost), cfg,
+        )
+        if self.ferns is not None:
+            ff, fr = self._fern_tables()
+            self._codes, self._good = _encode_views(
+                self._views[0], self._views[1], ff, fr
+            )
+        if self._so3_hist is None:
+            self._so3_hist = _coarse_intensity(rgb_d, cfg)
+        if self._count_est == 0 and self.map is not None:
+            self._count_est = int(self.map.count)
 
-        if not self.lost:
-            if self.ferns is not None and self.tick > 1:
-                sw.tick("Ferns::addFrame")
-                img_s, vtx_s, nrm_s = self._fern_views
-                self.ferns.add_frame(img_s, vtx_s, nrm_s, self.T_wc, self.tick)
-                sw.tock("Ferns::addFrame")
-            self.tick += 1
-        sw.tock("Run")
+    def _maybe_grow(self):
+        """Grow to the next capacity bucket before the tail can overflow,
+        tracking a host-side upper bound so no per-frame sync is needed."""
+        cfg = self.cfg
+        if self.map is None:
+            return
+        cap = self.map.capacity
+        if cap < cfg.max_surfels and self._count_est > 0.65 * cap:
+            self.flush()  # resync _count_est from real finished counts
+            if self._count_est > 0.65 * cap:
+                self.map = _grow_map(
+                    self.map, _next_bucket(2 * self._count_est, cfg.max_surfels)
+                )
 
+    def _result(self) -> FrameResult:
         return FrameResult(
             T_wc=self.T_wc.copy(),
-            tracking_ok=tracking_ok,
+            tracking_ok=self._last_tracking_ok,
             lost=self.lost,
             icp_error=self._last_icp_error,
             icp_count=self._last_icp_count,
-            fused=fused,
+            fused=self._last_fused,
             count_dev=None if self.map is None else self.map.count,
         )
 
-    # -- internals -----------------------------------------------------------
+    # -- consumer side of the pipeline ----------------------------------------
 
-    def _run_predict(self, T_dev, tick_dev, filt_m, rgb_d):
+    def _finish(self, rec) -> None:
+        """Host-side completion of one frame: one batched device read (free
+        once the frame has drained), pose log, relocalization state machine,
+        fern DB ops, loop-closure decisions."""
         cfg = self.cfg
-        max_time = jnp.float32(0.0) if self.last_frame_recovery else tick_dev
-        (self._pred, self._fill, self._dense_dev,
-         self._fern_views) = _predict_only(
-            self.map, T_dev, tick_dev, max_time, filt_m, rgb_d,
-            jnp.bool_(self.lost), cfg,
+        out = rec["out"]
+        res = out["res"]
+        reads = [out["T"], res.icp_error, res.icp_count, out["track_ok"],
+                 out["stats"].count]
+        if cfg.closeLoops:
+            m2m = out["m2m"]
+            reads += [out["codes"], out["good"], m2m.T_curr, m2m.icp_error,
+                      m2m.icp_count, m2m.A, out["inact_px"], out["cons_pv"],
+                      out["cons_ot"]]
+        vals = jax.device_get(tuple(reads))
+        T_np, err, cnt, tok, count = vals[:5]
+
+        T_host = np_orthonormalize(np.asarray(T_np, np.float64))
+        if self._pose_fix is not None and rec["tick"] > self._pose_fix[0]:
+            T_host = np_orthonormalize(self._pose_fix[1] @ T_host)
+        self.T_wc = T_host
+        self._last_icp_error = float(err)
+        self._last_icp_count = float(cnt)
+        self._count_est = int(count) + len(self._inflight) * (
+            (cfg.camera.width * cfg.camera.height) // 4
         )
 
-    def _reloc_update(self, res, tracking_ok: bool) -> bool:
-        """Relocalization state machine (ElasticFusion.cpp:326-365)."""
-        cov_ok = _covariance_ok(np.asarray(res.A, np.float64))
+        tracking_ok = True
+        if cfg.reloc_mode:
+            tracking_ok = self._reloc_update(bool(tok))
+        self._last_tracking_ok = tracking_ok
+        self._last_fused = (
+            (not cfg.rgb_only) and bool(tok) and not rec["lost_at_dispatch"]
+        )
+
+        self.tick_poses.append((rec["tick"], self.T_wc.copy()))
+        self.pose_times.append(int(rec["timestamp"]))
+
+        # deformation node sample of this frame's map state (cpp:591-597)
+        if self.local_deformation is not None:
+            self.local_deformation.set_sampled(
+                out["node_pos"], out["node_t"], out["stats"].count
+            )
+            self.global_deformation.sample_graph_from(self.local_deformation)
+
+        if cfg.closeLoops and self.ferns is not None:
+            (codes, good, m2m_T, m2m_err, m2m_cnt, m2m_A, inact_px,
+             cons_pv, cons_ot) = vals[5:]
+            self._close_loops(
+                rec, np.asarray(codes), int(good),
+                np.asarray(m2m_T, np.float64), float(m2m_err), float(m2m_cnt),
+                np.asarray(m2m_A, np.float64), int(inact_px),
+                np.asarray(cons_pv), np.asarray(cons_ot),
+            )
+            # Ferns::addFrame at end of frame (cpp:601-604), not while lost
+            if not rec["lost_at_dispatch"] and not self.lost:
+                self.ferns.add_frame_codes(
+                    np.asarray(codes), int(good), out["views"],
+                    self.T_wc, rec["tick"],
+                )
+
+    def _reloc_update(self, tracking_ok: bool) -> bool:
+        """Relocalization state machine (ElasticFusion.cpp:326-365); the
+        per-frame gates were already evaluated on-device."""
         if not self.lost:
-            if not (tracking_ok and cov_ok):
+            if not tracking_ok:
                 self.tracking_count += 1
                 if self.tracking_count > 10:
                     self.lost = True
@@ -715,132 +946,172 @@ class Engine:
             self.tracking_count = 0
             return True
         if self.last_frame_recovery:
-            if tracking_ok and cov_ok:
+            if tracking_ok:
                 self.lost = False
                 self.tracking_count = 0
             self.last_frame_recovery = False
-        return tracking_ok and cov_ok
+        return tracking_ok
 
-    def _close_loops(self, T_dev, filt_m, rgb_d):
-        """Global (fern) + local (model-to-model) loop closure
-        (ElasticFusion.cpp:391-534)."""
-        from .ferns import SurfaceConstraint
+    # -- loop closures ---------------------------------------------------------
 
+    def _close_loops(self, rec, codes, good, m2m_T, m2m_err, m2m_cnt,
+                     m2m_A, inact_px, cons_pv, cons_ot) -> None:
+        """Global (fern) + local (model-to-model) loop closure decisions
+        (ElasticFusion.cpp:391-534), running on the finished frame's small
+        outputs; acceptance dispatches `_apply_closure` on the latest device
+        state."""
         cfg = self.cfg
         sw = self.stopwatch
-        self._pending_graph = None
-        self._fern_accepted = False
-        self.last_frame_recovery = False
-        img_s, vtx_s, nrm_s = self._fern_views
 
         # --- global: fern retrieval (cpp:394-404) ---
         sw.tick("Ferns::findFrame")
-        recovery, constraints = self.ferns.find_frame(
-            img_s, vtx_s, nrm_s, self.T_wc, self.tick, self.lost
+        recovery, constraints = self.ferns.find_frame_codes(
+            codes, good, rec["out"]["views"], self.T_wc, rec["tick"],
+            rec["lost_at_dispatch"],
         )
         sw.tock("Ferns::findFrame")
 
         if self.ferns.last_closest != -1:
-            if self.lost:
+            if rec["lost_at_dispatch"]:
                 # teleport relocalization (cpp:411-413)
-                self.T_wc = np_orthonormalize(np.asarray(recovery, np.float64))
-                self.last_frame_recovery = True
+                T_rec = np_orthonormalize(np.asarray(recovery, np.float64))
+                self._teleport(rec, T_rec)
                 return
             gd = self.global_deformation
             fern_time = self.ferns.frames[self.ferns.last_closest].src_time
             for c in constraints:
                 gd.add_constraint(
-                    c.source_point, c.target_point, self.tick, fern_time, pin=True
+                    c.source_point, c.target_point, rec["tick"], fern_time,
+                    pin=True,
                 )
             for rc in self.relative_cons:
                 gd.constraints.append(rc)
             fern_poses = [(f.src_time, f.T_wc) for f in self.ferns.frames]
             ok, new_fern_poses, new_hist, _ = gd.constrain(
-                fern_poses, self.tick, fern_match=True,
+                fern_poses, rec["tick"], fern_match=True,
                 pose_history=self.tick_poses, relax_graph=True,
             )
             if ok:
-                self.T_wc = np_orthonormalize(np.asarray(recovery, np.float64))
+                T_rec = np_orthonormalize(np.asarray(recovery, np.float64))
                 for f, (_, T) in zip(self.ferns.frames, new_fern_poses):
                     f.T_wc = T
                 self.tick_poses = new_hist
                 self.fern_deforms += 1
-                self._pending_graph = gd.graph
-                self._fern_accepted = True
+                self._dispatch_closure(rec, T_rec, gd.graph, fern_accepted=True)
                 return
 
         # --- local: active-to-inactive model alignment (cpp:447-534) ---
-        if self.lost or self._pred is None:
+        if rec["lost_at_dispatch"] or inact_px < 1:
             return
-        # the INACTIVE half (last seen more than timeDelta ticks ago) is
-        # necessarily empty until the run is older than the window
-        if self.tick <= cfg.time_delta:
+        if not _covariance_ok(m2m_A, cfg.cov_threshold):
             return
-        sw.tick("IndexMap::INACTIVE")
-        res, inactive_count, pv_d, ot_d = _frame_c(
-            self.map,
-            self._pred.vertex, self._pred.normal, self._pred.image,
-            jnp.asarray(self.T_wc, jnp.float32), jnp.float32(self.tick), cfg,
-        )
-        sw.tock("IndexMap::INACTIVE")
-        if int(inactive_count) < 1:
+        if not (m2m_cnt > cfg.icp_count_threshold
+                and m2m_err < cfg.icp_error_threshold):
             return
-        if not _covariance_ok(np.asarray(res.A, np.float64), cfg.cov_threshold):
-            return
-        if not (float(res.icp_count) > cfg.icp_count_threshold
-                and float(res.icp_error) < cfg.icp_error_threshold):
-            return
-        T_est = np_orthonormalize(np.asarray(res.T_curr, np.float64))
+        T_est = np_orthonormalize(np.asarray(m2m_T, np.float64))
+        if self._pose_fix is not None and rec["tick"] > self._pose_fix[0]:
+            T_est = np_orthonormalize(self._pose_fix[1] @ T_est)
 
-        # constraints from consSample=20 subsampled pixels (cpp:485-511)
-        pv = np.asarray(pv_d)
-        ot = np.asarray(ot_d)
+        # constraints from consSample-subsampled pixels (cpp:485-511)
+        pv = cons_pv
+        ot = cons_ot
         z_ok = (pv[2] > 0) & (pv[2] < cfg.max_depth_processed) & (ot > 0)
         ld = self.local_deformation
         pin = ld.deforms == 0
-        srcs = (self.T_wc[:3, :3] @ pv.reshape(3, -1) + self.T_wc[:3, 3:4])
-        tgts = (T_est[:3, :3] @ pv.reshape(3, -1) + T_est[:3, 3:4])
+        srcs = self.T_wc[:3, :3] @ pv.reshape(3, -1) + self.T_wc[:3, 3:4]
+        tgts = T_est[:3, :3] @ pv.reshape(3, -1) + T_est[:3, 3:4]
         flat_ok = z_ok.reshape(-1)
         flat_ot = ot.reshape(-1)
         for i in np.nonzero(flat_ok)[0]:
             ld.add_constraint(
-                srcs[:, i], tgts[:, i], self.tick, int(flat_ot[i]), pin=pin
+                srcs[:, i], tgts[:, i], rec["tick"], int(flat_ot[i]), pin=pin
             )
         if not ld.constraints:
             return
 
         fern_poses = [(f.src_time, f.T_wc) for f in self.ferns.frames]
         ok, new_fern_poses, _, new_rel = ld.constrain(
-            fern_poses, self.tick, fern_match=False,
+            fern_poses, rec["tick"], fern_match=False,
             pose_history=self.tick_poses, relax_graph=False,
             collect_relative=True,
         )
         if ok:
             for f, (_, T) in zip(self.ferns.frames, new_fern_poses):
                 f.T_wc = T
-            self.T_wc = T_est
             self.deforms += 1
-            self._pending_graph = ld.graph
+            self._dispatch_closure(rec, T_est, ld.graph, fern_accepted=False)
             # carry forward a third of the new relative constraints (cpp:529-531)
             if new_rel:
                 step = max(len(new_rel) // 3, 1)
                 self.relative_cons.extend(new_rel[::step])
+
+    def _dispatch_closure(self, rec, T_target: np.ndarray, graph,
+                          fern_accepted: bool) -> None:
+        """Apply an accepted closure: rigid pose correction T_fix (world-frame
+        left-multiply, taking the closure frame's pose to its corrected one)
+        plus map deformation, via the `_apply_closure` program on the LATEST
+        carried device state."""
+        cfg = self.cfg
+        T_fix = T_target @ np.linalg.inv(self.T_wc)
+        self.T_wc = np_orthonormalize(T_target)
+        # frames finished later than the closure frame get the same rigid fix
+        fix = T_fix.copy()
+        if self._pose_fix is not None:
+            # compose onto any earlier outstanding fix
+            fix = T_fix @ self._pose_fix[1]
+        self._pose_fix = (rec["tick"], fix)
+
+        depth_d, rgb_d = self._last_frame_dev
+        tick_now = jnp.float32(max(self.tick - 1, rec["tick"]))
+        max_time = tick_now
+        ff, fr = self._fern_tables()
+        out = _apply_closure(
+            self.map, graph,
+            jnp.asarray(T_fix, jnp.float32), jnp.float32(rec["tick"]),
+            self._T_dev, tick_now, max_time, jnp.bool_(self.lost),
+            depth_d, rgb_d, ff, fr, cfg, fern_accepted,
+        )
+        self.map = out["map"]
+        self._T_dev = out["T"]
+        self._pred = out["pred"]
+        self._fill = out["fill"]
+        self._dense_dev = out["dense"]
+        self._views = out["views"]
+        self._codes, self._good = out["codes"], out["good"]
+
+    def _teleport(self, rec, T_rec: np.ndarray) -> None:
+        """Lost-mode fern relocalization: jump the carried pose to the
+        recovery pose and regenerate the carried prediction there
+        (ElasticFusion.cpp:411-413); confirmation happens over the next
+        well-conditioned frame (cpp:348-364)."""
+        fix = T_rec @ np.linalg.inv(self.T_wc)
+        if self._pose_fix is not None:
+            fix = fix @ self._pose_fix[1]
+        self._pose_fix = (rec["tick"], fix)
+        self.T_wc = T_rec
+        self.last_frame_recovery = True
+        self._pred = None  # force carried-state regeneration at the new pose
+        depth_d, rgb_d = self._last_frame_dev
+        self._regenerate_carried(depth_d, rgb_d)
 
     # -- outputs -------------------------------------------------------------
 
     def save_trajectory(self, path, iclnuim: bool = False) -> None:
         from .io.trajectory import write_freiburg
 
+        self.flush()
         write_freiburg(path, self.poses, iclnuim=iclnuim)
 
     def save_ply(self, path) -> int:
         from .io.ply import save_ply
 
+        self.flush()
         return save_ply(path, self.map, self.cfg.confidence_threshold)
 
 
-def _se3_log_norm(T: np.ndarray) -> float:
-    """|log SE3| used by the fusion weight (Sophus log norm)."""
+def _np_se3_log_norm(T: np.ndarray) -> float:
+    """|log SE3| used by the fusion weight (Sophus log norm) — host variant
+    for the external-pose path."""
     R = T[:3, :3]
     cos_t = np.clip((np.trace(R) - 1.0) * 0.5, -1.0, 1.0)
     theta = float(np.arccos(cos_t))

@@ -35,6 +35,34 @@ from .tracking import OdometryInputs, get_incremental_transformation
 BAD_CODE = 255
 
 
+def fern_encode_device(img_s, vtx_s, fern_flat, fern_rgbd):
+    """Device-side fern encoding (Ferns.cpp:108-127): gather the fern pixels
+    from the decimated predicted view and compare against the per-fern RGBD
+    thresholds.  Traced inside the per-frame program so only the ~500-byte
+    code vector crosses to the host (the reference reads back whole 80x60
+    images per frame, Ferns.cpp:176-178).
+
+    img_s: [h,w,3] f32 RGB, vtx_s: [3,h,w] camera-frame vertices,
+    fern_flat: [F] i32 flat pixel index (y*w+x), fern_rgbd: [F,4] f32
+    thresholds (r,g,b,depth_mm).  Returns (codes i32 [F], good i32)."""
+    import jax.numpy as jnp
+
+    from .ops.gatherpack import packed_gather
+
+    r, g, b, z = packed_gather(
+        (img_s[:, :, 0], img_s[:, :, 1], img_s[:, :, 2], vtx_s[2]), fern_flat
+    )
+    code = (
+        (r > fern_rgbd[:, 0]).astype(jnp.int32) * 8
+        + (g > fern_rgbd[:, 1]).astype(jnp.int32) * 4
+        + (b > fern_rgbd[:, 2]).astype(jnp.int32) * 2
+        + (jnp.floor(z * 1000.0) > fern_rgbd[:, 3]).astype(jnp.int32)
+    )
+    valid = z > 0
+    codes = jnp.where(valid, code, BAD_CODE)
+    return codes, jnp.sum(valid.astype(jnp.int32))
+
+
 @dataclass
 class FernFrame:
     """Keyframe record (Ferns.h:76-137)."""
@@ -121,6 +149,18 @@ class Ferns:
         self._good_db = np.zeros((0,), np.int64)
         self._time_db = np.zeros((0,), np.int64)
         self.last_closest = -1
+        self._dev_tables = None
+
+    def encode_tables(self):
+        """Device constants for fern_encode_device: (flat pixel index [F] i32,
+        RGBD thresholds [F,4] f32)."""
+        if self._dev_tables is None:
+            flat = (self.pos[:, 1] * self.width + self.pos[:, 0]).astype(np.int32)
+            self._dev_tables = (
+                jnp.asarray(flat),
+                jnp.asarray(self.rgbd.astype(np.float32)),
+            )
+        return self._dev_tables
 
     # -- encoding ------------------------------------------------------------
 
@@ -153,14 +193,25 @@ class Ferns:
                   threshold: Optional[float] = None) -> bool:
         """Ferns::addFrame (Ferns.cpp:78-160): encode the predicted view,
         keep as keyframe iff min dissimilarity over the DB > threshold."""
-        threshold = self.cfg.fern_threshold if threshold is None else threshold
         rgb_s, vert_s, norm_s = _to_small(
             image, vertex, normal, self.height, self.width, self.factor
         )
-
         codes, good = self._encode(rgb_s, vert_s)
+        return self.add_frame_codes(
+            codes, good, (rgb_s, vert_s, norm_s), T_wc, src_time, threshold
+        )
+
+    def add_frame_codes(self, codes: np.ndarray, good: int, views,
+                        T_wc: np.ndarray, src_time: int,
+                        threshold: Optional[float] = None) -> bool:
+        """addFrame with codes precomputed on-device (fern_encode_device);
+        `views` (image, vertex, normal — device handles or numpy) are only
+        materialized to the host when the keyframe is actually kept, which
+        is rare (dissimilarity gate ~0.3095)."""
+        threshold = self.cfg.fern_threshold if threshold is None else threshold
         if good == 0:
             return False
+        codes = np.asarray(codes, np.uint8).reshape(-1)
         co = self._co_occurrences(codes)
         if len(co):
             max_co = np.minimum(good, self._good_db).astype(np.float64)
@@ -170,8 +221,12 @@ class Ferns:
             minimum = np.inf
 
         if minimum > threshold or len(self.frames) == 0:
+            rgb_s, vert_s, norm_s = _to_small(
+                views[0], views[1], views[2],
+                self.height, self.width, self.factor,
+            )
             f = FernFrame(
-                id=len(self.frames), codes=codes, good_codes=good,
+                id=len(self.frames), codes=codes, good_codes=int(good),
                 T_wc=np.asarray(T_wc, np.float64).copy(), src_time=int(src_time),
                 rgb=rgb_s, verts=vert_s, norms=norm_s,
             )
@@ -186,16 +241,25 @@ class Ferns:
                    lost: bool):
         """Ferns::findFrame (Ferns.cpp:162-298).  Returns
         (T_wc_recovery | None, [SurfaceConstraint]); sets self.last_closest."""
-        self.last_closest = -1
-        constraints: List[SurfaceConstraint] = []
-        if not self.frames:
-            return None, constraints
-
         rgb_s, vert_s, norm_s = _to_small(
             image, vertex, normal, self.height, self.width, self.factor
         )
-
         codes, good = self._encode(rgb_s, vert_s)
+        return self.find_frame_codes(
+            codes, good, (rgb_s, vert_s, norm_s), T_wc, time, lost
+        )
+
+    def find_frame_codes(self, codes: np.ndarray, good: int, views,
+                         T_wc: np.ndarray, time: int, lost: bool):
+        """findFrame with codes precomputed on-device; the full decimated
+        views are only fetched when a retrieval candidate passes the
+        co-occurrence + blockHDAware gates (rare)."""
+        self.last_closest = -1
+        constraints: List[SurfaceConstraint] = []
+        if not self.frames or good == 0:
+            return None, constraints
+
+        codes = np.asarray(codes, np.uint8).reshape(-1)
         co = self._co_occurrences(codes)
         max_co = np.minimum(good, self._good_db).astype(np.float64)
         dissim = (max_co - co) / np.maximum(max_co, 1.0)
@@ -210,6 +274,11 @@ class Ferns:
         both = (codes != BAD_CODE) & (fern.codes != BAD_CODE)
         if both.sum() == 0 or (codes[both] == fern.codes[both]).mean() <= 0.3:
             return None, constraints
+
+        # only now pay for the full views (device->host on the lazy path)
+        rgb_s, vert_s, norm_s = _to_small(
+            views[0], views[1], views[2], self.height, self.width, self.factor
+        )
 
         # fern-resolution depth-only ICP from the keyframe pose (cpp:241-250)
         T_est = self._fern_icp(fern, vert_s, norm_s)

@@ -228,12 +228,15 @@ def fuse(
     tickf = jnp.float32(tick)
     n_new = jnp.minimum(jnp.sum(npm.astype(jnp.int32)), cap - m.count)
 
-    sort_ops = jax.lax.sort(
-        ((~npm).astype(jnp.int32),
-         v_g[0], v_g[1], v_g[2], conf_new.reshape(-1),
+    px_slot = jax.lax.broadcasted_iota(jnp.int32, (n_px, 1), 0).squeeze(-1)
+    _, px_perm = jax.lax.sort(
+        ((~npm).astype(jnp.int32), px_slot), num_keys=1, is_stable=True
+    )
+    sort_ops = [None] + packed_gather(
+        (v_g[0], v_g[1], v_g[2], conf_new.reshape(-1),
          col_meas[0], col_meas[1], col_meas[2],
          n_g[0], n_g[1], n_g[2], rad_new.reshape(-1)),
-        num_keys=1, is_stable=True,
+        px_perm,
     )
     # dynamic_slice clamps its start to keep the n_px window in-bounds; when
     # clamped (count > cap - n_px) the window's first `shift` rows are LIVE
@@ -330,39 +333,53 @@ def clean(
     flag_px = jnp.where(stable_px, 1.0, 0.0) + jnp.where(
         stable_px & (pred.last_t == tick), 2.0, 0.0
     )
-    for iy, wy in zip((-1, 0, 1), _W3):
-        for ix, wx in zip((-1, 0, 1), _W3):
-            w = wx * wy
-            qx = px + ix
-            qy = py + iy
-            inb = (qx >= 0) & (qx < W) & (qy >= 0) & (qy < H)
-            # dead / out-of-view surfels all gather pixel 0: their rows are
-            # masked anyway and the uniform address keeps the gather
-            # cache-friendly (capacity is typically ~2-3x the live count)
-            flat = jnp.where(
-                in_view, jnp.clip(qy, 0, H - 1) * W + jnp.clip(qx, 0, W - 1), 0
-            )
-            c_flag, c_z, c_x, c_y, c_it = packed_gather(
-                (flag_px, pred.vert[2], pred.vert[0], pred.vert[1],
-                 pred.init_t),
-                flat,
-            )
-            has = inb & (c_flag >= 1.0) & in_view
-            behind_me = c_z > lp[2]
-            dz = c_z - lp[2]
-            dxy = jnp.sqrt((c_x - lp[0]) ** 2 + (c_y - lp[1]) ** 2)
-            # merged-candidate overlap (copy_unstable.vert:84-96)
-            count += jnp.where(
-                has & (c_it < m.init_t) & behind_me & (dz < 0.01)
-                & (dxy < m.radius * 1.4),
-                w, 0.0,
-            )
-            # free-space violation (copy_unstable.vert:98-106)
-            zcount += jnp.where(
-                has & (c_flag >= 3.0) & behind_me & (dz > 0.01)
-                & (jnp.abs(ln[2]) > 0.85),
-                w, 0.0,
-            )
+
+    # Assemble the whole 3x3 window as ONE wide-row gather: shift the 5
+    # candidate channels in the (cheap, vectorized) pixel domain into a
+    # [H*W, 45] patch table, then gather a 45-float row per surfel at its
+    # center pixel.  Nine narrow gathers at map capacity were the dominant
+    # cost of clean (random-access row overhead); one wide gather amortizes
+    # it 9x.  Out-of-bounds neighbours zero-fill, which clears their flag
+    # channel — the same rejection the per-offset bounds test produced.
+    def shift_px(img, dy, dx):
+        out = jnp.roll(jnp.roll(img, -dy, axis=0), -dx, axis=1)
+        row = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+        inb = (row + dy >= 0) & (row + dy < H) & (col + dx >= 0) & (col + dx < W)
+        return jnp.where(inb, out, 0.0)
+
+    chans = (flag_px, pred.vert[2], pred.vert[0], pred.vert[1], pred.init_t)
+    patch = []
+    for iy in (-1, 0, 1):
+        for ix in (-1, 0, 1):
+            patch.extend(shift_px(c, iy, ix) for c in chans)
+    # dead / out-of-view surfels all gather pixel 0: their rows are masked
+    # anyway and the uniform address keeps the gather cache-friendly
+    flat = jnp.where(
+        in_view, jnp.clip(py, 0, H - 1) * W + jnp.clip(px, 0, W - 1), 0
+    )
+    got = packed_gather(tuple(patch), flat)
+    for oi, (wy, wx) in enumerate(
+        (wy, wx) for wy in _W3 for wx in _W3
+    ):
+        w = wx * wy
+        c_flag, c_z, c_x, c_y, c_it = got[5 * oi:5 * oi + 5]
+        has = (c_flag >= 1.0) & in_view
+        behind_me = c_z > lp[2]
+        dz = c_z - lp[2]
+        dxy = jnp.sqrt((c_x - lp[0]) ** 2 + (c_y - lp[1]) ** 2)
+        # merged-candidate overlap (copy_unstable.vert:84-96)
+        count += jnp.where(
+            has & (c_it < m.init_t) & behind_me & (dz < 0.01)
+            & (dxy < m.radius * 1.4),
+            w, 0.0,
+        )
+        # free-space violation (copy_unstable.vert:98-106)
+        zcount += jnp.where(
+            has & (c_flag >= 3.0) & behind_me & (dz > 0.01)
+            & (jnp.abs(ln[2]) > 0.85),
+            w, 0.0,
+        )
 
     keep = ~((count > 8.0) | (zcount > 4.0))
     # stale unstable (copy_unstable.vert:120-123)

@@ -37,11 +37,14 @@ class Gram(NamedTuple):
 
 
 def _gram_from_rows(rows: jax.Array, valid: jax.Array) -> Gram:
-    """rows [N,7] (zeroed where invalid), valid [N] bool → Gram.
+    """rows [7,N] (zeroed where invalid), valid [N] bool → Gram.
 
     The einsum is a (7,N)×(N,7) matmul — MXU work, replacing the reference's
-    grid-stride + warp-shuffle block reduction (reduce.cu:57-140)."""
-    G = jnp.einsum("ni,nj->ij", rows, rows, preferred_element_type=jnp.float32)
+    grid-stride + warp-shuffle block reduction (reduce.cu:57-140).  Rows are
+    laid out [7,N] so the big axis is the TPU lane dimension: an [N,7] array
+    pads 7 lanes up to 128 (an 18x HBM blowup at 640x480), which made the
+    row materialization the hottest op of the whole tracker."""
+    G = jnp.einsum("in,jn->ij", rows, rows, preferred_element_type=jnp.float32)
     return Gram(
         A=G[:6, :6], b=G[:6, 6], sum_sq=G[6, 6], count=jnp.sum(valid.astype(jnp.float32))
     )
@@ -177,8 +180,8 @@ def icp_step(
 
     sxn = jnp.cross(s_cp, n_cp, axis=0)
     res = jnp.sum(n_cp * (s_cp - d_cp), axis=0)
-    rows = jnp.concatenate([n_cp, sxn, res[None]], axis=0).T  # [N,7]
-    rows = jnp.where(found[:, None], rows, 0.0)
+    rows = jnp.concatenate([n_cp, sxn, res[None]], axis=0)  # [7,N]
+    rows = jnp.where(found[None, :], rows, 0.0)
     return _gram_from_rows(rows, found)
 
 
@@ -300,9 +303,9 @@ def rgb_step(
             -p[1] * v0r + p[0] * v1r,
             -w * corres.diff,
         ],
-        axis=1,
-    )
-    rows = jnp.where(corres.valid[:, None], rows, 0.0)
+        axis=0,
+    )  # [7,N]
+    rows = jnp.where(corres.valid[None, :], rows, 0.0)
     return _gram_from_rows(rows, corres.valid)
 
 
@@ -399,9 +402,9 @@ def so3_step(
     jac = jnp.cross(lp, point, axis=0)                       # (3,N)
     resid = -(n_at - l_at)
 
-    rows = jnp.concatenate([jac, resid[None]], axis=0).T     # (N,4)
-    rows = jnp.where(found[:, None], rows, 0.0)
-    G = jnp.einsum("ni,nj->ij", rows, rows, preferred_element_type=jnp.float32)
+    rows = jnp.concatenate([jac, resid[None]], axis=0)       # (4,N)
+    rows = jnp.where(found[None, :], rows, 0.0)
+    G = jnp.einsum("in,jn->ij", rows, rows, preferred_element_type=jnp.float32)
     return GramSO3(
         A=G[:3, :3],
         b=G[:3, 3],

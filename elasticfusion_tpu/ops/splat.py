@@ -87,11 +87,14 @@ def _point_raster(
     index_map.vert.
 
     Duplicate-index scatter-min lowers poorly on TPU; instead sort surfels by
-    (pixel, z-bits) with a stable multi-key sort — positive IEEE floats
-    compare correctly as unsigned ints — and keep the first entry of every
-    pixel run.  Stability gives the deterministic lowest-id tie-break at
-    equal depth.  The winning ids scatter with UNIQUE indices (one run head
-    per pixel), which takes XLA's fast scatter path."""
+    a single packed (pixel << 13 | quantized depth) key with a stable sort
+    and keep the first entry of every pixel run.  One u32 key + the id value
+    keeps the bitonic network to two operands (vs pixel/z-bits/id = three —
+    each operand rides every pass of the network).  Depth quantizes to 13
+    bits over [0, 2^13) cm — 2.4 mm buckets at the 20 m cutoff — which only
+    coarsens the *winner tie-break*; all downstream geometry uses exact
+    values.  Stability gives the deterministic lowest-id tie-break within a
+    bucket, mirroring the GL depth test's fixed-point depth compare."""
     H, W = cam.height, cam.width
     N = pos_c.shape[1]
     z = pos_c[2]
@@ -101,10 +104,18 @@ def _point_raster(
     ok = valid & slot_live & (z > 0) & (u >= 0) & (v >= 0) & (u < W) & (v < H)
     pix = jnp.where(ok, v * W + u, H * W)  # out-of-range -> dropped
 
-    zbits = jax.lax.bitcast_convert_type(z, jnp.uint32)
-    zkey = jnp.where(ok, zbits, jnp.uint32(0xFFFFFFFF))
+    ZB = 13
     ids = jax.lax.broadcasted_iota(jnp.int32, (N, 1), 0).squeeze(-1)
-    spix, _, sid = jax.lax.sort((pix, zkey, ids), num_keys=2, is_stable=True)
+    if (H * W + 1) << ZB <= (1 << 32):
+        zq = jnp.clip((z * (8192.0 / 20.0)).astype(jnp.uint32), 0, (1 << ZB) - 1)
+        key = (pix.astype(jnp.uint32) << ZB) | jnp.where(ok, zq, 0)
+        skey, sid = jax.lax.sort((key, ids), num_keys=1, is_stable=True)
+        spix = (skey >> ZB).astype(jnp.int32)
+    else:
+        # resolutions whose pixel ids don't fit 32-ZB bits: exact 2-key sort
+        zbits = jax.lax.bitcast_convert_type(z, jnp.uint32)
+        zkey = jnp.where(ok, zbits, jnp.uint32(0xFFFFFFFF))
+        spix, _, sid = jax.lax.sort((pix, zkey, ids), num_keys=2, is_stable=True)
 
     head = jnp.concatenate(
         [jnp.ones((1,), jnp.bool_), spix[1:] != spix[:-1]]
@@ -207,6 +218,7 @@ def combined_predict(
     conf_threshold: float,
     max_depth: float,
     footprint: int = 5,
+    use_pallas: Optional[bool] = None,
 ) -> Prediction:
     """IndexMap::combinedPredict (IndexMap.cpp:293-393) — splat-render the
     image/vertex/normal/time prediction.  Gates from splat.vert:57:
@@ -227,6 +239,29 @@ def combined_predict(
     ch = _gather_surfel_channels(m, pos_c, normal_c, pid)
 
     H, W = cam.height, cam.width
+
+    # hot path: the fused one-read Pallas stencil (z-min + blend in VMEM)
+    on_tpu = jax.default_backend() == "tpu"
+    if footprint == 5 and (use_pallas if use_pallas is not None else on_tpu):
+        from .splat_pallas import splat_resolve
+
+        valid = (~ch["empty"] & (ch["p"][2] > 0)).astype(jnp.float32)
+        chan = jnp.concatenate(
+            [ch["p"], ch["n"], ch["rad"][None], ch["conf"][None],
+             ch["col"], ch["it"][None], valid[None]], axis=0
+        )
+        out = splat_resolve(chan, cam.fx, cam.fy, cam.cx, cam.cy,
+                            interpret=not on_tpu)
+        return Prediction(
+            image=jnp.moveaxis(out[0:3], 0, -1),
+            vertex=out[3:6],
+            conf=out[6],
+            normal=out[7:10],
+            radius=out[10],
+            time=out[11],
+            depth=out[12],
+        )
+
     u = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
     v = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)
     # pixel ray (un-normalized; scale cancels in the plane intersection)

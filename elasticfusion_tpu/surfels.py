@@ -165,33 +165,38 @@ def compact(m: SurfelMap, keep: jax.Array) -> SurfelMap:
     """Drop surfels where `keep` is False, preserving order — the equivalent
     of transform-feedback stream compaction (copy_unstable.geom:33-43).
 
-    Implemented as ONE stable multi-operand sort on the dead flag: kept rows
-    (key 0) move to the front in order, dead rows sink.  Large scatters run
-    at scalar-core rate on TPU (~90 ms for a [3,1M] axis-1 scatter), while
-    the sort path is vectorized; dead rows are zeroed so downstream masks
-    (`z>0`, `conf>0`) behave as before."""
+    Implemented as a stable 2-operand PERMUTATION sort on the dead flag
+    (kept rows move to the front in order) followed by ONE packed row-gather
+    of all 13 channels at the permutation.  A 14-operand variadic sort drags
+    every channel through every pass of the sorting network (~7x the data
+    movement); the permutation+gather form moves each channel exactly once.
+    Large scatters run at scalar-core rate on TPU, so gather/sort is the
+    vectorized path; dead rows are zeroed so downstream masks (`z>0`,
+    `conf>0`) behave as before."""
+    from .ops.gatherpack import packed_gather
+
     cap = m.capacity
     slot = jax.lax.broadcasted_iota(jnp.int32, (cap, 1), 0).squeeze(-1)
     keep = keep & (slot < m.count)
     dead = (~keep).astype(jnp.int32)
     zero = jnp.where(keep, 1.0, 0.0)
-    ops = jax.lax.sort(
-        (dead,
-         m.pos[0] * zero, m.pos[1] * zero, m.pos[2] * zero,
+    _, perm = jax.lax.sort((dead, slot), num_keys=1, is_stable=True)
+    ch = packed_gather(
+        (m.pos[0] * zero, m.pos[1] * zero, m.pos[2] * zero,
          m.conf * zero,
          m.color[0] * zero, m.color[1] * zero, m.color[2] * zero,
          m.init_t * zero, m.last_t * zero,
          m.normal[0] * zero, m.normal[1] * zero, m.normal[2] * zero,
          m.radius * zero),
-        num_keys=1, is_stable=True,
+        perm,
     )
     return SurfelMap(
-        pos=jnp.stack(ops[1:4]),
-        conf=ops[4],
-        color=jnp.stack(ops[5:8]),
-        init_t=ops[8],
-        last_t=ops[9],
-        normal=jnp.stack(ops[10:13]),
-        radius=ops[13],
+        pos=jnp.stack(ch[0:3]),
+        conf=ch[3],
+        color=jnp.stack(ch[4:7]),
+        init_t=ch[7],
+        last_t=ch[8],
+        normal=jnp.stack(ch[9:12]),
+        radius=ch[12],
         count=jnp.sum(keep.astype(jnp.int32)),
     )
