@@ -56,6 +56,24 @@ def save_checkpoint(path: str | Path, engine) -> None:
             fern_verts=np.stack([fr.verts for fr in f.frames]),
             fern_norms=np.stack([fr.norms for fr in f.frames]),
         )
+    # loop-closure carry state (EF.cpp:529-531 semantics): the downsampled
+    # relative constraints fed into future global deformations, plus each
+    # deformation's incremental-activation clock
+    if engine.relative_cons:
+        rc = engine.relative_cons
+        data.update(
+            rel_src=np.stack([c.src for c in rc]),
+            rel_target=np.stack([c.target for c in rc]),
+            rel_src_time=np.array([c.src_time for c in rc], np.int64),
+            rel_target_time=np.array([c.target_time for c in rc], np.int64),
+        )
+    if engine.local_deformation is not None:
+        data.update(
+            local_last_deform=engine.local_deformation.last_deform_time,
+            local_deforms=engine.local_deformation.deforms,
+            global_last_deform=engine.global_deformation.last_deform_time,
+            global_deforms=engine.global_deformation.deforms,
+        )
     np.savez_compressed(path, **data)
 
 
@@ -113,4 +131,19 @@ def load_checkpoint(path: str | Path, cfg=None):
         f._code_db = z["fern_codes"].copy()
         f._good_db = z["fern_good"].copy()
         f._time_db = z["fern_times"].copy()
+    if "rel_src" in z:
+        from .deformation import HostConstraint
+
+        eng.relative_cons = [
+            HostConstraint(s, t, st, tt, relative=True)
+            for s, t, st, tt in zip(
+                z["rel_src"], z["rel_target"],
+                z["rel_src_time"], z["rel_target_time"],
+            )
+        ]
+    if "local_last_deform" in z and eng.local_deformation is not None:
+        eng.local_deformation.last_deform_time = int(z["local_last_deform"])
+        eng.local_deformation.deforms = int(z["local_deforms"])
+        eng.global_deformation.last_deform_time = int(z["global_last_deform"])
+        eng.global_deformation.deforms = int(z["global_deforms"])
     return eng

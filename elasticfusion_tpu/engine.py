@@ -300,6 +300,7 @@ def _frame_main(
     lost,                                    # bool
     weight_mult,                             # f32 weightMultiplier
     fern_flat, fern_rgbd,                    # fern encode tables (see ferns)
+    db_codes, db_good, db_time, db_count,    # fern keyframe code DB
     cfg: EngineConfig,
 ):
     """The whole SLAM frame as ONE device program (ElasticFusion.cpp:270-607
@@ -321,7 +322,7 @@ def _frame_main(
     same pose, one fusion newer — and their *decisions* are made by the host
     up to pipeline_depth frames later, repaired by `_apply_closure`.
     """
-    from .ferns import fern_encode_device
+    from .ferns import fern_encode_device, fern_score_device
 
     cam = cfg.camera
     raw_m, filt_m = _preprocess(depth_mm, cfg)
@@ -391,6 +392,12 @@ def _frame_main(
     if cfg.closeLoops:
         img_s, vtx_s, nrm_s = _decimate_views(img, vtx, nrm, cfg.fern_pyramid_factor)
         codes, good = fern_encode_device(img_s, vtx_s, fern_flat, fern_rgbd)
+        # on-device keyframe retrieval scoring (Ferns.cpp:108-228): the host
+        # reads four scalars instead of rescoring the whole DB per frame
+        add_min, best_id, best_d, block_hd = fern_score_device(
+            codes, good, db_codes, db_good, db_time, db_count,
+            tick, cfg.fern_min_age,
+        )
         node_pos, node_t = _sample_nodes(m, cfg.def_graph_sample_rate)
 
         # local loop closure precompute (cpp:447-511): skip the INACTIVE
@@ -430,6 +437,8 @@ def _frame_main(
         )
         out.update(
             views=(img_s, vtx_s, nrm_s), codes=codes, good=good,
+            add_min=add_min, best_id=best_id, best_d=best_d,
+            block_hd=block_hd,
             node_pos=node_pos, node_t=node_t,
             m2m=m2m, inact_px=inact_px,
             cons_pv=pred.vertex[:, ::CONS_SAMPLE, ::CONS_SAMPLE],
@@ -600,6 +609,11 @@ class Engine:
 
     def __init__(self, cfg: EngineConfig = EngineConfig()):
         self.cfg = cfg
+        # multi-device: shard the surfel map over cfg.mesh_shape's 'map'
+        # axis, replicate frame state; GSPMD inserts the collectives
+        from .parallel.sharding import engine_mesh
+
+        self.mesh = engine_mesh(cfg)
         self.tick = 1                             # starts at 1 (EF.cpp:55)
         self.T_wc = np.eye(4)                     # f64 host pose (Sophus parity)
         self.lost = False
@@ -676,10 +690,44 @@ class Engine:
         while self._inflight:
             self._finish(self._inflight.popleft())
 
+    def _rep(self, x):
+        """Replicate a host/device value onto the engine mesh (no-op when
+        single-device)."""
+        if self.mesh is None:
+            return x
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        return jax.device_put(x, NamedSharding(self.mesh, P()))
+
+    def _shard_map(self, m: SurfelMap) -> SurfelMap:
+        if self.mesh is None:
+            return m
+        from .parallel.sharding import shard_surfel_map
+
+        return shard_surfel_map(m, self.mesh)
+
     def _fern_tables(self):
         if self.ferns is not None:
-            return self.ferns.encode_tables()
-        return jnp.zeros((1,), jnp.int32), jnp.zeros((1, 4), jnp.float32)
+            if getattr(self, "_fern_tables_dev", None) is None:
+                self._fern_tables_dev = tuple(
+                    self._rep(t) for t in self.ferns.encode_tables()
+                )
+            return self._fern_tables_dev
+        if getattr(self, "_fern_tables_dev", None) is None:
+            self._fern_tables_dev = (
+                self._rep(jnp.zeros((1,), jnp.int32)),
+                self._rep(jnp.zeros((1, 4), jnp.float32)),
+            )
+        return self._fern_tables_dev
+
+    def _fern_db(self):
+        if self.ferns is not None:
+            c, g, t, n = self.ferns.device_db()
+            return (self._rep(c), self._rep(g), self._rep(t), self._rep(n))
+        one = self._rep(jnp.full((1, 1), 255, jnp.int32))
+        z1 = self._rep(jnp.zeros((1,), jnp.float32))
+        return one, z1, self._rep(jnp.full((1,), jnp.inf, jnp.float32)), \
+            self._rep(jnp.int32(0))
 
     def process_frame(
         self,
@@ -693,8 +741,8 @@ class Engine:
         sw = self.stopwatch
         sw.tick("Run")
         sw.tick("Preprocess")
-        rgb_d = jnp.asarray(rgb)
-        depth_d = jnp.asarray(depth_mm)
+        rgb_d = self._rep(jnp.asarray(rgb))
+        depth_d = self._rep(jnp.asarray(depth_mm))
         self._last_frame_dev = (depth_d, rgb_d)
         sw.tock("Preprocess")
 
@@ -717,10 +765,13 @@ class Engine:
 
         self._maybe_grow()
 
-        tick_dev = jnp.float32(self.tick)
-        max_time = jnp.float32(0.0) if self.last_frame_recovery else tick_dev
+        tick_dev = self._rep(jnp.float32(self.tick))
+        max_time = (
+            self._rep(jnp.float32(0.0)) if self.last_frame_recovery else tick_dev
+        )
         self.last_frame_recovery = False
         fern_flat, fern_rgbd = self._fern_tables()
+        db_codes, db_good, db_time, db_count = self._fern_db()
 
         sw.tick("odom")
         out = _frame_main(
@@ -728,9 +779,10 @@ class Engine:
             self._pred.vertex, self._pred.normal, self._pred.image,
             self._fill[0], self._fill[1], self._fill[2],
             self._dense_dev, depth_d, rgb_d,
-            tick_dev, max_time, jnp.bool_(self.lost),
-            jnp.float32(weight_multiplier),
-            fern_flat, fern_rgbd, cfg,
+            tick_dev, max_time, self._rep(jnp.bool_(self.lost)),
+            self._rep(jnp.float32(weight_multiplier)),
+            fern_flat, fern_rgbd,
+            db_codes, db_good, db_time, db_count, cfg,
         )
         sw.tock("odom")
 
@@ -769,15 +821,16 @@ class Engine:
         # initial bucket: first frame fills at most n_px slots and every
         # per-surfel op costs O(capacity) — start tight, grow on demand
         cap0 = _next_bucket(n_px + n_px // 4, cfg.max_surfels)
-        self.map = _init_map(raw_m, filt_m, rgb_d, cfg, cap0)
+        self.map = self._shard_map(_init_map(raw_m, filt_m, rgb_d, cfg, cap0))
         self._count_est = n_px
         self._so3_hist = _coarse_intensity(rgb_d, cfg)  # initFirstRGB
         if in_T_wc is not None:
             self.T_wc = np.asarray(in_T_wc, np.float64)
-        self._T_dev = jnp.asarray(self.T_wc, jnp.float32)
+        self._T_dev = self._rep(jnp.asarray(self.T_wc, jnp.float32))
+        one = self._rep(jnp.float32(1.0))
         (self._pred, self._fill, self._dense_dev, self._views) = _predict_only(
-            self.map, self._T_dev, jnp.float32(1.0), jnp.float32(1.0),
-            filt_m, rgb_d, jnp.bool_(False), cfg,
+            self.map, self._T_dev, one, one,
+            filt_m, rgb_d, self._rep(jnp.bool_(False)), cfg,
         )
         if self.ferns is not None:
             ff, fr = self._fern_tables()
@@ -805,20 +858,22 @@ class Engine:
         raw_m, filt_m = _preprocess(depth_d, cfg)
         T_prev = self.T_wc.copy()
         self.T_wc = np.asarray(in_T_wc, np.float64)
-        self._T_dev = jnp.asarray(self.T_wc, jnp.float32)
+        self._T_dev = self._rep(jnp.asarray(self.T_wc, jnp.float32))
         self._so3_hist = _coarse_intensity(rgb_d, cfg)
         # velocity-adaptive fusion weight on host (cpp:371-383)
         T_cp = np.linalg.inv(self.T_wc) @ T_prev
         w = min(max(float(np.linalg.norm(T_cp[:3, 3])), _np_se3_log_norm(T_cp)), 0.01)
-        weighting = jnp.float32(max(1.0 - w / 0.01, 0.5) * weight_multiplier)
+        weighting = self._rep(
+            jnp.float32(max(1.0 - w / 0.01, 0.5) * weight_multiplier)
+        )
 
-        tick_dev = jnp.float32(self.tick)
+        tick_dev = self._rep(jnp.float32(self.tick))
         self.map, stats = _fuse_and_clean(
             self.map, self._T_dev, tick_dev, rgb_d, raw_m, filt_m, weighting, cfg
         )
         (self._pred, self._fill, self._dense_dev, self._views) = _predict_only(
             self.map, self._T_dev, tick_dev, tick_dev, filt_m, rgb_d,
-            jnp.bool_(False), cfg,
+            self._rep(jnp.bool_(False)), cfg,
         )
         self._count_est = int(stats.count)
         self._last_fused = True
@@ -829,12 +884,15 @@ class Engine:
     def _regenerate_carried(self, depth_d, rgb_d):
         cfg = self.cfg
         raw_m, filt_m = _preprocess(depth_d, cfg)
-        self._T_dev = jnp.asarray(self.T_wc, jnp.float32)
-        tick_dev = jnp.float32(self.tick)
-        max_time = jnp.float32(0.0) if self.last_frame_recovery else tick_dev
+        self.map = self._shard_map(self.map)
+        self._T_dev = self._rep(jnp.asarray(self.T_wc, jnp.float32))
+        tick_dev = self._rep(jnp.float32(self.tick))
+        max_time = (
+            self._rep(jnp.float32(0.0)) if self.last_frame_recovery else tick_dev
+        )
         (self._pred, self._fill, self._dense_dev, self._views) = _predict_only(
             self.map, self._T_dev, tick_dev, max_time, filt_m, rgb_d,
-            jnp.bool_(self.lost), cfg,
+            self._rep(jnp.bool_(self.lost)), cfg,
         )
         if self.ferns is not None:
             ff, fr = self._fern_tables()
@@ -886,7 +944,8 @@ class Engine:
             m2m = out["m2m"]
             reads += [out["codes"], out["good"], m2m.T_curr, m2m.icp_error,
                       m2m.icp_count, m2m.A, out["inact_px"], out["cons_pv"],
-                      out["cons_ot"]]
+                      out["cons_ot"], out["add_min"], out["best_id"],
+                      out["best_d"], out["block_hd"]]
         vals = jax.device_get(tuple(reads))
         T_np, err, cnt, tok, count = vals[:5]
 
@@ -920,18 +979,19 @@ class Engine:
 
         if cfg.closeLoops and self.ferns is not None:
             (codes, good, m2m_T, m2m_err, m2m_cnt, m2m_A, inact_px,
-             cons_pv, cons_ot) = vals[5:]
+             cons_pv, cons_ot, add_min, best_id, best_d, block_hd) = vals[5:]
             self._close_loops(
-                rec, np.asarray(codes), int(good),
+                rec, float(best_id), float(best_d), float(block_hd),
+                np.asarray(codes), int(good),
                 np.asarray(m2m_T, np.float64), float(m2m_err), float(m2m_cnt),
                 np.asarray(m2m_A, np.float64), int(inact_px),
                 np.asarray(cons_pv), np.asarray(cons_ot),
             )
             # Ferns::addFrame at end of frame (cpp:601-604), not while lost
             if not rec["lost_at_dispatch"] and not self.lost:
-                self.ferns.add_frame_codes(
-                    np.asarray(codes), int(good), out["views"],
-                    self.T_wc, rec["tick"],
+                self.ferns.add_frame_scored(
+                    float(add_min), np.asarray(codes), int(good),
+                    out["views"], self.T_wc, rec["tick"],
                 )
 
     def _reloc_update(self, tracking_ok: bool) -> bool:
@@ -954,7 +1014,8 @@ class Engine:
 
     # -- loop closures ---------------------------------------------------------
 
-    def _close_loops(self, rec, codes, good, m2m_T, m2m_err, m2m_cnt,
+    def _close_loops(self, rec, best_id, best_d, block_hd, codes, good,
+                     m2m_T, m2m_err, m2m_cnt,
                      m2m_A, inact_px, cons_pv, cons_ot) -> None:
         """Global (fern) + local (model-to-model) loop closure decisions
         (ElasticFusion.cpp:391-534), running on the finished frame's small
@@ -963,10 +1024,11 @@ class Engine:
         cfg = self.cfg
         sw = self.stopwatch
 
-        # --- global: fern retrieval (cpp:394-404) ---
+        # --- global: fern retrieval, scored on-device (cpp:394-404) ---
         sw.tick("Ferns::findFrame")
-        recovery, constraints = self.ferns.find_frame_codes(
-            codes, good, rec["out"]["views"], self.T_wc, rec["tick"],
+        recovery, constraints = self.ferns.find_frame_scored(
+            int(best_id), best_d, block_hd, codes, good,
+            rec["out"]["views"], self.T_wc, rec["tick"],
             rec["lost_at_dispatch"],
         )
         sw.tock("Ferns::findFrame")
@@ -1062,13 +1124,15 @@ class Engine:
         self._pose_fix = (rec["tick"], fix)
 
         depth_d, rgb_d = self._last_frame_dev
-        tick_now = jnp.float32(max(self.tick - 1, rec["tick"]))
+        tick_now = self._rep(jnp.float32(max(self.tick - 1, rec["tick"])))
         max_time = tick_now
         ff, fr = self._fern_tables()
+        graph = jax.tree.map(self._rep, graph)
         out = _apply_closure(
             self.map, graph,
-            jnp.asarray(T_fix, jnp.float32), jnp.float32(rec["tick"]),
-            self._T_dev, tick_now, max_time, jnp.bool_(self.lost),
+            self._rep(jnp.asarray(T_fix, jnp.float32)),
+            self._rep(jnp.float32(rec["tick"])),
+            self._T_dev, tick_now, max_time, self._rep(jnp.bool_(self.lost)),
             depth_d, rgb_d, ff, fr, cfg, fern_accepted,
         )
         self.map = out["map"]

@@ -63,6 +63,45 @@ def fern_encode_device(img_s, vtx_s, fern_flat, fern_rgbd):
     return codes, jnp.sum(valid.astype(jnp.int32))
 
 
+def fern_score_device(codes, good, db_codes, db_good, db_times, db_count,
+                      tick, min_age: int):
+    """On-device retrieval scoring against the keyframe code DB — the whole
+    per-frame host compute of Ferns::addFrame/findFrame (Ferns.cpp:108-228)
+    reduced to four scalars in the frame program's batched read:
+
+      add_min   — min dissimilarity over ALL keyframes (addFrame gate)
+      best_id   — argmin dissimilarity over age-gated keyframes
+      best_d    — its dissimilarity
+      block_hd  — blockHDAware agreement with that keyframe (cpp:378-393)
+    """
+    import jax
+    import jax.numpy as jnp
+
+    F = db_codes.shape[0]
+    goodf = good.astype(jnp.float32)
+    co = jnp.sum(
+        ((db_codes == codes[None, :]) & (codes[None, :] != BAD_CODE)
+         ).astype(jnp.float32), axis=1,
+    )
+    max_co = jnp.minimum(goodf, db_good)
+    dissim = (max_co - co) / jnp.maximum(max_co, 1.0)
+    row = jax.lax.broadcasted_iota(jnp.int32, (F, 1), 0).squeeze(-1)
+    valid = row < db_count
+    add_min = jnp.min(jnp.where(valid, dissim, jnp.inf))
+
+    old = valid & ((tick - db_times) > min_age)
+    find_d = jnp.where(old, dissim, jnp.inf)
+    best_id = jnp.argmin(find_d)
+    best_d = find_d[best_id]
+    brow = db_codes[best_id]
+    both = (codes != BAD_CODE) & (brow != BAD_CODE)
+    block_hd = (
+        jnp.sum(((codes == brow) & both).astype(jnp.float32))
+        / jnp.maximum(jnp.sum(both.astype(jnp.float32)), 1.0)
+    )
+    return add_min, best_id.astype(jnp.int32), best_d, block_hd
+
+
 @dataclass
 class FernFrame:
     """Keyframe record (Ferns.h:76-137)."""
@@ -150,6 +189,38 @@ class Ferns:
         self._time_db = np.zeros((0,), np.int64)
         self.last_closest = -1
         self._dev_tables = None
+        # device-resident keyframe DB for on-device retrieval scoring
+        # (replaces the reference's host inverted index, Ferns.cpp:121-152)
+        self.db_capacity = cfg.max_fern_keyframes
+        self._db_codes_dev = None   # [F, num] i32
+        self._db_good_dev = None    # [F] f32
+        self._db_time_dev = None    # [F] f32
+
+    def device_db(self):
+        """(codes [F,num] i32, good [F] f32, times [F] f32, count i32) —
+        fixed-capacity device arrays for in-frame-program scoring."""
+        if self._db_codes_dev is None:
+            F = self.db_capacity
+            self._db_codes_dev = jnp.full((F, self.num), BAD_CODE, jnp.int32)
+            self._db_good_dev = jnp.zeros((F,), jnp.float32)
+            # +inf time = a dead row can never pass the age>min_age gate
+            self._db_time_dev = jnp.full((F,), jnp.inf, jnp.float32)
+            for i, fr in enumerate(self.frames[: F]):
+                self._db_codes_dev = self._db_codes_dev.at[i].set(
+                    jnp.asarray(fr.codes.astype(np.int32)))
+                self._db_good_dev = self._db_good_dev.at[i].set(fr.good_codes)
+                self._db_time_dev = self._db_time_dev.at[i].set(fr.src_time)
+        return (self._db_codes_dev, self._db_good_dev, self._db_time_dev,
+                jnp.int32(min(len(self.frames), self.db_capacity)))
+
+    def _db_upload(self, idx: int, codes: np.ndarray, good: int,
+                   src_time: int) -> None:
+        if self._db_codes_dev is None or idx >= self.db_capacity:
+            return
+        self._db_codes_dev = self._db_codes_dev.at[idx].set(
+            jnp.asarray(codes.astype(np.int32)))
+        self._db_good_dev = self._db_good_dev.at[idx].set(float(good))
+        self._db_time_dev = self._db_time_dev.at[idx].set(float(src_time))
 
     def encode_tables(self):
         """Device constants for fern_encode_device: (flat pixel index [F] i32,
@@ -221,21 +292,87 @@ class Ferns:
             minimum = np.inf
 
         if minimum > threshold or len(self.frames) == 0:
-            rgb_s, vert_s, norm_s = _to_small(
-                views[0], views[1], views[2],
-                self.height, self.width, self.factor,
-            )
-            f = FernFrame(
-                id=len(self.frames), codes=codes, good_codes=int(good),
-                T_wc=np.asarray(T_wc, np.float64).copy(), src_time=int(src_time),
-                rgb=rgb_s, verts=vert_s, norms=norm_s,
-            )
-            self.frames.append(f)
-            self._code_db = np.concatenate([self._code_db, codes[None]], axis=0)
-            self._good_db = np.concatenate([self._good_db, [good]])
-            self._time_db = np.concatenate([self._time_db, [src_time]])
-            return True
+            return self._append_keyframe(codes, good, views, T_wc, src_time)
         return False
+
+    def _append_keyframe(self, codes, good, views, T_wc, src_time) -> bool:
+        rgb_s, vert_s, norm_s = _to_small(
+            views[0], views[1], views[2],
+            self.height, self.width, self.factor,
+        )
+        f = FernFrame(
+            id=len(self.frames), codes=codes, good_codes=int(good),
+            T_wc=np.asarray(T_wc, np.float64).copy(), src_time=int(src_time),
+            rgb=rgb_s, verts=vert_s, norms=norm_s,
+        )
+        self.frames.append(f)
+        self._code_db = np.concatenate([self._code_db, codes[None]], axis=0)
+        self._good_db = np.concatenate([self._good_db, [good]])
+        self._time_db = np.concatenate([self._time_db, [src_time]])
+        self._db_upload(f.id, codes, int(good), int(src_time))
+        return True
+
+    def add_frame_scored(self, add_min: float, codes, good, views,
+                         T_wc: np.ndarray, src_time: int) -> bool:
+        """addFrame with the dissimilarity minimum already computed on-device
+        (fern_score_device): zero per-frame host compute; codes/views only
+        materialize on the accept branch."""
+        if good == 0:
+            return False
+        if len(self.frames) == 0 or add_min > self.cfg.fern_threshold:
+            return self._append_keyframe(
+                np.asarray(codes, np.uint8).reshape(-1), int(good), views,
+                T_wc, src_time,
+            )
+        return False
+
+    def find_frame_scored(self, best_id: int, best_d: float, block_hd: float,
+                          codes, good, views, T_wc: np.ndarray, time: int,
+                          lost: bool):
+        """findFrame with retrieval scoring + blockHDAware already computed
+        on-device; the host only runs the (rare) accept branch: fern-res ICP
+        + photometric check + constraint emission (Ferns.cpp:231-291)."""
+        self.last_closest = -1
+        constraints: List[SurfaceConstraint] = []
+        if (not self.frames or good == 0 or not np.isfinite(best_d)
+                or best_id >= len(self.frames) or block_hd <= 0.3):
+            return None, constraints
+        fern = self.frames[int(best_id)]
+
+        rgb_s, vert_s, norm_s = _to_small(
+            views[0], views[1], views[2], self.height, self.width, self.factor
+        )
+        T_est = self._fern_icp(fern, vert_s, norm_s)
+        if T_est is None:
+            return None, constraints
+        T_est_mat, icp_error, icp_count = T_est
+
+        photo = self._photometric_check(vert_s, rgb_s, T_est_mat, fern)
+        icp_count_thresh = (
+            self.cfg.lost_inlier_relax if lost else self.cfg.fern_inlier_count
+        )
+        if not (icp_error < 3e-4 and icp_count > icp_count_thresh
+                and photo < self.cfg.photo_threshold):
+            return None, constraints
+
+        self.last_closest = int(best_id)
+        return T_est_mat, self._emit_constraints(vert_s, T_wc, T_est_mat)
+
+    def _emit_constraints(self, vert_s, T_wc, T_est_mat):
+        """Surface constraints sampled every num/50 ferns (Ferns.cpp:265-291)."""
+        constraints: List[SurfaceConstraint] = []
+        T_wc = np.asarray(T_wc, np.float64)
+        step = max(self.num // 50, 1)
+        for i in range(0, self.num, step):
+            x, y = self.pos[i]
+            z = vert_s[2, y, x]
+            if z > 0 and int(z * 1000.0) < self.max_depth_mm:
+                p = np.array([vert_s[0, y, x], vert_s[1, y, x], z, 1.0])
+                constraints.append(SurfaceConstraint(
+                    source_point=(T_wc @ p)[:3],
+                    target_point=(T_est_mat @ p)[:3],
+                ))
+        return constraints
 
     def find_frame(self, image, vertex, normal, T_wc: np.ndarray, time: int,
                    lost: bool):
@@ -295,19 +432,7 @@ class Ferns:
             return None, constraints
 
         self.last_closest = min_id
-        # surface constraints sampled every num/50 ferns (cpp:265-291)
-        T_wc = np.asarray(T_wc, np.float64)
-        step = max(self.num // 50, 1)
-        for i in range(0, self.num, step):
-            x, y = self.pos[i]
-            z = vert_s[2, y, x]
-            if z > 0 and int(z * 1000.0) < self.max_depth_mm:
-                p = np.array([vert_s[0, y, x], vert_s[1, y, x], z, 1.0])
-                constraints.append(SurfaceConstraint(
-                    source_point=(T_wc @ p)[:3],
-                    target_point=(T_est_mat @ p)[:3],
-                ))
-        return T_est_mat, constraints
+        return T_est_mat, self._emit_constraints(vert_s, T_wc, T_est_mat)
 
     # -- internals -----------------------------------------------------------
 

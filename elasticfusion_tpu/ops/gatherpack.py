@@ -25,7 +25,13 @@ _bar = jax.lax.optimization_barrier
 
 
 def pack_channels(channels: Sequence[jax.Array]):
-    """Pack channels into a `[T, C]` f32 row table (ints/bools bitcast).
+    """Pack channels into a `[C, T]` f32 lane-major table (ints/bools
+    bitcast).
+
+    Lane-major means the big table axis T is the TPU lane dimension and the
+    channel count C sits in sublanes — gathering along lanes (`take(...,
+    axis=1)`) measured ~1.7-3x faster than gathering [T, C] rows, whose C
+    minor dim pads up to the 128-lane tile.
 
     Pack once when the table is reused across gathers (e.g. per pyramid level
     outside a Gauss-Newton `fori_loop` — the barrier would otherwise pin the
@@ -43,17 +49,17 @@ def pack_channels(channels: Sequence[jax.Array]):
         else:
             flat.append(c.astype(jnp.float32))
             kinds.append("f32")
-    return _bar(jnp.stack(flat, axis=1)), tuple(kinds)
+    return _bar(jnp.stack(flat, axis=0)), tuple(kinds)
 
 
 def gather_packed(packed, flat_idx: jax.Array):
-    """Row-gather a table from `pack_channels` at [N] indices (caller clips);
-    returns the channels with their original dtypes."""
+    """Lane-gather a table from `pack_channels` at [N] indices (caller
+    clips); returns the channels with their original dtypes."""
     tbl, kinds = packed
-    rows = _bar(jnp.take(tbl, _bar(flat_idx), axis=0))  # [N, C]
+    rows = _bar(jnp.take(tbl, _bar(flat_idx), axis=1))  # [C, N]
     out = []
     for i, kind in enumerate(kinds):
-        col = rows[:, i]
+        col = rows[i]
         if kind == "bool":
             out.append(jax.lax.bitcast_convert_type(col, jnp.int32) != 0)
         elif kind == "int":

@@ -349,6 +349,24 @@ def combined_predict(
     )
 
 
+def synthesize_info(
+    m: SurfelMap,
+    T_wc: jax.Array,
+    cam: CameraConfig,
+    conf_threshold: float,
+    max_depth: float,
+) -> Prediction:
+    """IndexMap::synthesizeInfo (IndexMap.cpp:478-556): splat prediction with
+    NO time windowing — every confident surfel renders regardless of age.
+    Utility pass for whole-map views (visualization, relocalization debug)."""
+    return combined_predict(
+        m, T_wc, cam,
+        time=jnp.float32(0.0), max_time=jnp.float32(3.4e38),
+        time_delta=int(2 ** 30), conf_threshold=conf_threshold,
+        max_depth=max_depth,
+    )
+
+
 def synthesize_depth(
     m: SurfelMap,
     T_wc: jax.Array,

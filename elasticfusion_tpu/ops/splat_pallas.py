@@ -9,11 +9,12 @@ channel images into VMEM once, and runs BOTH passes of the 5x5 ray/disk
 stencil over the tile entirely from VMEM: one read of the inputs instead of
 ~50, VPU-bound, <1 ms.
 
-Layout: inputs are packed [13, H+4, W+4] (pre-padded so every halo window is
-in bounds; zero padding clears the validity plane exactly like the XLA
-path's zero-filled shifts).  Channel order: p(3), n(3), rad, conf, col(3),
-it, valid.  Output is packed [13, H, W]: col(3), vertex(3), conf, normal(3),
-rad, time, depth.
+Layout: inputs are packed [13, H+2*PADY, W+2*PADX] — pre-padded so every
+halo DMA slice is in bounds AND tile-aligned (sublane multiples of 8, lane
+multiples of 128; Mosaic rejects unaligned memref slices).  Zero padding
+clears the validity plane exactly like the XLA path's zero-filled shifts.
+Channel order: p(3), n(3), rad, conf, col(3), it, valid.  Output is packed
+[13, H, W]: col(3), vertex(3), conf, normal(3), rad, time, depth.
 """
 
 from __future__ import annotations

@@ -62,6 +62,27 @@ def replicate(x, mesh: Mesh):
     return jax.device_put(x, NamedSharding(mesh, P()))
 
 
+def engine_mesh(cfg: EngineConfig) -> Optional[Mesh]:
+    """Build the engine's device mesh from cfg.mesh_shape (None = single
+    device).  The Engine shards its SurfelMap over the 'map' axis and
+    replicates frame state; XLA's SPMD partitioner propagates those input
+    shardings through `_frame_main` and inserts the collectives
+    (SURVEY.md §2.11/§5.8: all-reduce z-min merges for the point raster,
+    all-gathers for pixel-domain composites)."""
+    if cfg.mesh_shape is None:
+        return None
+    import math
+
+    n = math.prod(cfg.mesh_shape)
+    devs = jax.devices()
+    if n > len(devs):
+        raise ValueError(
+            f"cfg.mesh_shape={cfg.mesh_shape} needs {n} devices, "
+            f"{len(devs)} visible"
+        )
+    return Mesh(np.asarray(devs[:n]).reshape(cfg.mesh_shape), cfg.mesh_axes)
+
+
 def sharded_slam_step(cfg: EngineConfig, mesh: Mesh):
     """jit of engine.slam_step with the map sharded over `mesh` and frame
     state replicated.  Output shardings mirror the inputs so the step can be

@@ -1,0 +1,109 @@
+"""Map-axis scaling measurement + collective inventory.
+
+Runs the sharded per-frame program on a 1-device and an N-device mesh at a
+fixed (large) map capacity, reports the per-surfel-op speedup/efficiency,
+and extracts the collectives GSPMD inserted from the compiled HLO — the
+evidence artifact behind SCALING.md.
+
+On this sandbox only virtual CPU meshes exist
+(XLA_FLAGS=--xla_force_host_platform_device_count=N); CPU-mesh wall time is
+NOT TPU wall time, but the sharding (memory per device, collective
+placement) is the real GSPMD partition the TPU build would run.
+
+Usage:
+    XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu \
+        python -m elasticfusion_tpu.tools.scaling_bench [-n 8] [-cap 20]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import re
+import sys
+import time
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("-n", dest="n_devices", type=int, default=8)
+    p.add_argument("-cap", dest="cap_log2", type=int, default=20,
+                   help="log2 surfel capacity (default 2^20)")
+    p.add_argument("-frames", type=int, default=5)
+    args = p.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ..config import CameraConfig, EngineConfig
+    from ..ops.preprocess import metricise_depth
+    from ..parallel.sharding import (
+        make_mesh, replicate, shard_surfel_map, sharded_slam_step,
+    )
+    from ..surfels import init_map_from_frame
+    from ..utils.synthetic import make_scene, pose_from_xyzrpy, render_frame
+
+    w, h = 320, 240
+    cam = CameraConfig(width=w, height=h, fx=264.0, fy=264.0, cx=160.0, cy=120.0)
+    cfg = EngineConfig(camera=cam, max_surfels=1 << args.cap_log2,
+                       confidence_threshold=0.3)
+    scene = make_scene(n_side=900)
+    depth_mm, rgb = render_frame(scene[0], scene[1], np.eye(4), cam)
+    raw = metricise_depth(jnp.asarray(depth_mm, jnp.float32), cfg.depth_cutoff)
+    m0 = init_map_from_frame(cfg.max_surfels, raw, raw, jnp.asarray(rgb),
+                             cam, cfg.depth_cutoff)
+
+    results = {}
+    hlo_collectives = {}
+    for n in sorted({1, args.n_devices}):
+        mesh = make_mesh(n)
+        m = shard_surfel_map(m0, mesh)
+        step = sharded_slam_step(cfg, mesh)
+        mk = lambda x: replicate(x, mesh)  # noqa: E731
+        argv_ = lambda mm, i: (  # noqa: E731
+            mm, mk(jnp.eye(4, dtype=jnp.float32)),
+            mk(jnp.zeros((h >> 2, w >> 2), jnp.float32)),
+            mk(jnp.zeros((3, h, w), jnp.float32)),
+            mk(jnp.zeros((3, h, w), jnp.float32)),
+            mk(jnp.zeros((h, w, 3), jnp.float32)),
+            mk(jnp.asarray(depth_mm)), mk(jnp.asarray(rgb)),
+            mk(jnp.float32(2.0 + i)), mk(jnp.float32(1.0)),
+        )
+        # collective inventory from the compiled module
+        try:
+            txt = step.lower(*argv_(m, 0)).compile().as_text()
+            colls = re.findall(
+                r"\b(all-reduce|all-gather|reduce-scatter|collective-permute"
+                r"|all-to-all)\b", txt)
+            from collections import Counter
+
+            hlo_collectives[n] = dict(Counter(colls))
+        except Exception as e:  # noqa: BLE001
+            hlo_collectives[n] = f"hlo unavailable: {e}"
+
+        out = step(*argv_(m, 0))
+        jax.block_until_ready(out)
+        mm = shard_surfel_map(m0, mesh)
+        t0 = time.perf_counter()
+        for i in range(args.frames):
+            out = step(*argv_(mm, i))
+            mm = out[0]
+        jax.block_until_ready(out)
+        results[n] = (time.perf_counter() - t0) / args.frames * 1e3
+
+    n = args.n_devices
+    speedup = results[1] / results[n] if n in results and 1 in results else None
+    print(json.dumps({
+        "backend": jax.default_backend(),
+        "capacity": 1 << args.cap_log2,
+        "ms_per_step": {str(k): round(v, 2) for k, v in results.items()},
+        "speedup": None if speedup is None else round(speedup, 3),
+        "efficiency": None if speedup is None else round(speedup / n, 3),
+        "collectives": hlo_collectives,
+    }, indent=2))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -166,6 +166,45 @@ def render_analytic(T_wc: np.ndarray, cam: CameraConfig,
     return depth_mm, rgb
 
 
+def synthetic_trajectory(kind: str, n_frames: int) -> list:
+    """Ground-truth camera trajectories over the bumpy-wall scene for the
+    synthetic benchmark battery (eval_suite.py).  All trajectories keep the
+    wall (z≈2, x∈[-2,2], y∈[-1.5,1.5]) in view.
+
+    kinds:
+      sweep        — monotone lateral sweep (open-loop odometry; config 1/2)
+      there_back   — sweep out and return to the start (local loop closure
+                     once the revisit falls outside the timeDelta window)
+      orbit        — slow yaw pan + lateral motion, two passes over the same
+                     wall section (global loop closure / fern retrieval)
+    """
+    Ts = []
+    for i in range(n_frames):
+        s = i / max(n_frames - 1, 1)
+        if kind == "sweep":
+            Ts.append(pose_from_xyzrpy(
+                x=1.2 * s, y=-0.15 * s, z=0.25 * s, yaw=0.22 * s,
+                pitch=0.06 * s,
+            ))
+        elif kind == "there_back":
+            # triangle wave: out for the first 60%, back for the rest
+            u = s / 0.6 if s < 0.6 else (1.0 - s) / 0.4
+            Ts.append(pose_from_xyzrpy(
+                x=1.0 * u, z=0.15 * u, yaw=0.18 * u, y=-0.08 * u,
+            ))
+        elif kind == "orbit":
+            import math
+
+            ph = 2.0 * math.pi * s
+            Ts.append(pose_from_xyzrpy(
+                x=0.8 * math.sin(ph), z=0.12 * (1 - math.cos(ph)),
+                yaw=0.20 * math.sin(ph), y=0.06 * math.sin(2 * ph),
+            ))
+        else:
+            raise ValueError(f"unknown trajectory kind {kind!r}")
+    return Ts
+
+
 def pose_from_xyzrpy(
     x=0.0, y=0.0, z=0.0, roll=0.0, pitch=0.0, yaw=0.0
 ) -> np.ndarray:
