@@ -115,6 +115,10 @@ class EngineConfig:
     frame_to_frame_rgb: bool = False     # -ftf
     lost_inlier_relax: int = 1400        # Ferns.cpp:256
     fern_inlier_count: int = 2400
+    # fern-res ICP acceptance error (hardcoded 3e-4 at Ferns.cpp:256; a knob
+    # here because the per-inlier error scales with fern resolution — tests
+    # at 20x15 fern views need a looser gate than the reference's 80x60)
+    fern_icp_error: float = 3e-4
 
     # --- deformation graph ---
     def_graph_sample_rate: int = 5000    # every Nth surfel, sample.geom

@@ -644,9 +644,16 @@ class Engine:
         self._last_fused = False
         # pipeline
         self._inflight: deque = deque()
-        # accumulated pose correction for frames dispatched before a closure
-        # was applied: (applies_after_tick, 4x4 np.float64)
-        self._pose_fix: Optional[Tuple[int, np.ndarray]] = None
+        self._seq = 0  # monotone dispatch counter (ticks can repeat while lost)
+        # Pose corrections for frames that were IN FLIGHT when a closure (or
+        # teleport) rewrote the carried device pose: list of
+        # (closure_seq, last_inflight_seq, 4x4 np.float64).  A finished
+        # frame's device pose needs fix F iff it was dispatched after F's
+        # closure frame but before F was applied (closure_seq < seq <=
+        # last_inflight_seq); frames dispatched later carry the corrected
+        # _T_dev already.  Applying a fix outside its window double-corrects
+        # (every post-closure pose would be off by T_fix, compounding).
+        self._pose_fixes: List[Tuple[int, int, np.ndarray]] = []
         # loop-closure subsystems (ferns.py / deformation.py)
         self.ferns = None
         self.local_deformation = None
@@ -766,9 +773,12 @@ class Engine:
         self._maybe_grow()
 
         tick_dev = self._rep(jnp.float32(self.tick))
-        max_time = (
-            self._rep(jnp.float32(0.0)) if self.last_frame_recovery else tick_dev
-        )
+        # consume the recovery flag at dispatch (maxTime=0 right after a fern
+        # teleport, ElasticFusion.cpp:624-644) but CARRY it into the inflight
+        # record: _reloc_update must see the per-frame value at finish time,
+        # not the engine attribute (already reset by then).
+        was_recovery = self.last_frame_recovery
+        max_time = self._rep(jnp.float32(0.0)) if was_recovery else tick_dev
         self.last_frame_recovery = False
         fern_flat, fern_rgbd = self._fern_tables()
         db_codes, db_good, db_time, db_count = self._fern_db()
@@ -799,8 +809,10 @@ class Engine:
 
         self._inflight.append(dict(
             tick=self.tick, timestamp=timestamp,
-            lost_at_dispatch=self.lost, out=out,
+            lost_at_dispatch=self.lost, recovery=was_recovery,
+            seq=self._seq, out=out,
         ))
+        self._seq += 1
         self._count_est += (cfg.camera.width * cfg.camera.height) // 4
         if not self.lost:
             self.tick += 1
@@ -949,9 +961,7 @@ class Engine:
         vals = jax.device_get(tuple(reads))
         T_np, err, cnt, tok, count = vals[:5]
 
-        T_host = np_orthonormalize(np.asarray(T_np, np.float64))
-        if self._pose_fix is not None and rec["tick"] > self._pose_fix[0]:
-            T_host = np_orthonormalize(self._pose_fix[1] @ T_host)
+        T_host = self._fixed_pose(rec, np.asarray(T_np, np.float64))
         self.T_wc = T_host
         self._last_icp_error = float(err)
         self._last_icp_count = float(cnt)
@@ -961,7 +971,7 @@ class Engine:
 
         tracking_ok = True
         if cfg.reloc_mode:
-            tracking_ok = self._reloc_update(bool(tok))
+            tracking_ok = self._reloc_update(bool(tok), rec["recovery"])
         self._last_tracking_ok = tracking_ok
         self._last_fused = (
             (not cfg.rgb_only) and bool(tok) and not rec["lost_at_dispatch"]
@@ -993,10 +1003,15 @@ class Engine:
                     float(add_min), np.asarray(codes), int(good),
                     out["views"], self.T_wc, rec["tick"],
                 )
+        # frames finish in dispatch order: fixes fully behind us are drained
+        self._pose_fixes = [e for e in self._pose_fixes if rec["seq"] < e[1]]
 
-    def _reloc_update(self, tracking_ok: bool) -> bool:
+    def _reloc_update(self, tracking_ok: bool, was_recovery: bool) -> bool:
         """Relocalization state machine (ElasticFusion.cpp:326-365); the
-        per-frame gates were already evaluated on-device."""
+        per-frame gates were already evaluated on-device.  `was_recovery` is
+        the per-frame flag captured at dispatch time (the frame right after a
+        fern teleport): one further well-conditioned frame confirms recovery
+        (cpp:348-364)."""
         if not self.lost:
             if not tracking_ok:
                 self.tracking_count += 1
@@ -1005,12 +1020,21 @@ class Engine:
                 return False
             self.tracking_count = 0
             return True
-        if self.last_frame_recovery:
-            if tracking_ok:
-                self.lost = False
-                self.tracking_count = 0
-            self.last_frame_recovery = False
+        if was_recovery and tracking_ok:
+            self.lost = False
+            self.tracking_count = 0
         return tracking_ok
+
+    def _fixed_pose(self, rec, T: np.ndarray) -> np.ndarray:
+        """Apply (in closure order) every outstanding pose fix whose in-flight
+        window contains this frame's dispatch seq.  No pruning here — a frame
+        may need the same fixes for several device poses (its own + the m2m
+        estimate); `_finish` prunes once the frame is fully processed."""
+        seq = rec["seq"]
+        for cs, us, fix in self._pose_fixes:
+            if cs < seq <= us:
+                T = fix @ T
+        return np_orthonormalize(T)
 
     # -- loop closures ---------------------------------------------------------
 
@@ -1070,9 +1094,9 @@ class Engine:
         if not (m2m_cnt > cfg.icp_count_threshold
                 and m2m_err < cfg.icp_error_threshold):
             return
-        T_est = np_orthonormalize(np.asarray(m2m_T, np.float64))
-        if self._pose_fix is not None and rec["tick"] > self._pose_fix[0]:
-            T_est = np_orthonormalize(self._pose_fix[1] @ T_est)
+        # m2m_T was computed on-device at dispatch time: bring it into the
+        # corrected frame exactly like the frame's own pose
+        T_est = self._fixed_pose(rec, np.asarray(m2m_T, np.float64))
 
         # constraints from consSample-subsampled pixels (cpp:485-511)
         pv = cons_pv
@@ -1116,12 +1140,17 @@ class Engine:
         cfg = self.cfg
         T_fix = T_target @ np.linalg.inv(self.T_wc)
         self.T_wc = np_orthonormalize(T_target)
-        # frames finished later than the closure frame get the same rigid fix
-        fix = T_fix.copy()
-        if self._pose_fix is not None:
-            # compose onto any earlier outstanding fix
-            fix = T_fix @ self._pose_fix[1]
-        self._pose_fix = (rec["tick"], fix)
+        # the closure frame's own logged pose becomes the corrected one
+        # (currPose = estPose before the pose log, ElasticFusion.cpp:534+588)
+        if self.tick_poses and self.tick_poses[-1][0] == rec["tick"]:
+            self.tick_poses[-1] = (rec["tick"], self.T_wc.copy())
+        # frames still in flight were dispatched at pre-correction poses and
+        # get the same rigid fix when they finish; frames dispatched from now
+        # on carry the corrected _T_dev (no fix — see _pose_fixes)
+        if self._inflight:
+            self._pose_fixes.append(
+                (rec["seq"], self._inflight[-1]["seq"], T_fix.copy())
+            )
 
         depth_d, rgb_d = self._last_frame_dev
         tick_now = self._rep(jnp.float32(max(self.tick - 1, rec["tick"])))
@@ -1149,9 +1178,10 @@ class Engine:
         (ElasticFusion.cpp:411-413); confirmation happens over the next
         well-conditioned frame (cpp:348-364)."""
         fix = T_rec @ np.linalg.inv(self.T_wc)
-        if self._pose_fix is not None:
-            fix = fix @ self._pose_fix[1]
-        self._pose_fix = (rec["tick"], fix)
+        if self._inflight:
+            self._pose_fixes.append(
+                (rec["seq"], self._inflight[-1]["seq"], fix)
+            )
         self.T_wc = T_rec
         self.last_frame_recovery = True
         self._pred = None  # force carried-state regeneration at the new pose

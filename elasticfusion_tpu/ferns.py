@@ -351,7 +351,8 @@ class Ferns:
         icp_count_thresh = (
             self.cfg.lost_inlier_relax if lost else self.cfg.fern_inlier_count
         )
-        if not (icp_error < 3e-4 and icp_count > icp_count_thresh
+        if not (icp_error < self.cfg.fern_icp_error
+                and icp_count > icp_count_thresh
                 and photo < self.cfg.photo_threshold):
             return None, constraints
 
@@ -427,7 +428,8 @@ class Ferns:
         icp_count_thresh = (
             self.cfg.lost_inlier_relax if lost else self.cfg.fern_inlier_count
         )
-        if not (icp_error < 3e-4 and icp_count > icp_count_thresh
+        if not (icp_error < self.cfg.fern_icp_error
+                and icp_count > icp_count_thresh
                 and photo < self.cfg.photo_threshold):
             return None, constraints
 

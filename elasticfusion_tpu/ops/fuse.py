@@ -66,8 +66,21 @@ def fuse(
     cam: CameraConfig,
     max_depth: float,
     weighting,
-) -> tuple[SurfelMap, FuseStats]:
-    """GlobalModel::fuse (GlobalModel.cpp:356-525).  See module docstring."""
+    return_updated_pred: bool = False,
+):
+    """GlobalModel::fuse (GlobalModel.cpp:356-525).  See module docstring.
+
+    With `return_updated_pred` the POST-fuse index prediction is derived in
+    the pixel domain and returned as a third output, replacing the
+    reference's second `predictIndices` render before clean
+    (ElasticFusion.cpp:554-555) — which here costs a full-capacity packed
+    sort (~9 ms at 640x480/512k).  This is exact for merges (a raster winner
+    projects to its own pixel by construction, so its pixel's contribution
+    sums ARE its update) and for appended surfels (a new surfel projects
+    exactly to the pixel it was measured at); the only divergence from a
+    re-render is a merged surfel whose averaged position crosses a pixel
+    boundary — its entry stays at the old pixel, within the 3x3 window every
+    consumer searches anyway."""
     H, W = depth_raw_m.shape
     n_px = H * W
     cap = m.capacity

@@ -56,6 +56,7 @@ def main():
     raw_m, filt_m = _preprocess(depth_d, cfg)
     jax.block_until_ready((raw_m, filt_m))
     ff, fr = eng._fern_tables()
+    dbc, dbg, dbt, dbn = eng._fern_db()
 
     def run_main():
         mm = jax.tree.map(lambda x: x + 0, m)
@@ -64,7 +65,8 @@ def main():
             eng._pred.vertex, eng._pred.normal, eng._pred.image,
             eng._fill[0], eng._fill[1], eng._fill[2],
             eng._dense_dev, depth_d, rgb_d,
-            tick, tick, jnp.bool_(False), jnp.float32(1.0), ff, fr, cfg)
+            tick, tick, jnp.bool_(False), jnp.float32(1.0), ff, fr,
+            dbc, dbg, dbt, dbn, cfg)
     timeit("_frame_main (whole frame) +copy", run_main, n=5)
 
     timeit("preprocess", lambda: _preprocess(depth_d, cfg))
