@@ -98,6 +98,10 @@ class EngineConfig:
     unstable_age: int = 20               # copy_unstable.vert:120-123
     fuse_window_multiplier: int = 2      # data.vert search window scale
     max_deformation_nodes: int = 1024    # GlobalModel.cpp:25-26
+    # clean() culls every frame (reference semantics) but the full-capacity
+    # compaction sort runs only every Nth frame; in between, culled surfels
+    # are marked dead in place (inert to every consumer — see ops/fuse.clean)
+    compact_every: int = 4
 
     # --- loop closure / relocalization ---
     icp_error_threshold: float = 4e-5    # -ie (code default, MainController.cpp:72)
@@ -119,6 +123,11 @@ class EngineConfig:
     # here because the per-inlier error scales with fern resolution — tests
     # at 20x15 fern views need a looser gate than the reference's 80x60)
     fern_icp_error: float = 3e-4
+    # per-frame tracking-failure gates under reloc_mode (hardcoded 1e-4 at
+    # ElasticFusion.cpp:326-344); knobs because the normalized ICP error and
+    # the covariance scale with resolution (~1/inlier-count vs 640x480)
+    reloc_icp_error: float = 1e-4
+    reloc_cov_threshold: float = 1e-4
 
     # --- deformation graph ---
     def_graph_sample_rate: int = 5000    # every Nth surfel, sample.geom

@@ -108,11 +108,16 @@ def _grow_map(m: SurfelMap, capacity: int) -> SurfelMap:
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
-def _predict(m: SurfelMap, T_wc, tick, max_time, depth_filt_m, rgb, lost, cfg: EngineConfig):
+def _predict(m: SurfelMap, T_wc, time, max_time, depth_filt_m, rgb, lost, cfg: EngineConfig):
     """predict() (ElasticFusion.cpp:621-653): ACTIVE combinedPredict + the
-    three fill-in passes + the denseEnough statistic (cpp:256-268)."""
+    three fill-in passes + the denseEnough statistic (cpp:256-268).
+
+    `time` is the reference's first combinedPredict time argument: tick
+    normally, 0 right after a fern-teleport recovery (cpp:624-631) — time=0
+    passes EVERY surfel through the active-window gate, rendering the whole
+    map so the confirming frame can track against it."""
     pred = combined_predict(
-        m, T_wc, cfg.camera, tick, max_time, cfg.time_delta,
+        m, T_wc, cfg.camera, time, max_time, cfg.time_delta,
         cfg.confidence_threshold, cfg.max_depth_processed,
     )
     vtx, nrm, img = fill_all(
@@ -188,18 +193,17 @@ def _fuse_and_clean(
     m: SurfelMap, T_wc, tick, rgb, depth_raw_m, depth_filt_m, weighting,
     cfg: EngineConfig,
 ):
-    """predictIndices -> fuse -> predictIndices -> clean (cpp:536-585) as a
-    standalone program — used by the external-pose (ground truth) path."""
+    """predictIndices -> fuse -> clean (cpp:536-585) as a standalone program
+    — used by the external-pose (ground truth) path.  The post-fuse index
+    prediction clean consumes is derived in the pixel domain by fuse
+    (return_updated_pred) instead of a second full-capacity render."""
     cam = cfg.camera
     pred = predict_indices(
         m, T_wc, cam, tick, cfg.time_delta, cfg.max_depth_processed
     )
-    m2, stats = fuse(
+    m2, stats, pred2 = fuse(
         m, pred, T_wc, tick, rgb, depth_raw_m, depth_filt_m, cam,
-        cfg.max_depth_processed, weighting,
-    )
-    pred2 = predict_indices(
-        m2, T_wc, cam, tick, cfg.time_delta, cfg.max_depth_processed
+        cfg.max_depth_processed, weighting, return_updated_pred=True,
     )
     m3 = clean(
         m2, pred2, T_wc, tick, cam, cfg.confidence_threshold, cfg.time_delta,
@@ -236,11 +240,10 @@ def slam_step(
     T = res.T_curr
 
     pred_idx = predict_indices(m, T, cam, tick, cfg.time_delta, cfg.max_depth_processed)
-    m, stats = fuse(
+    m, stats, pred_idx2 = fuse(
         m, pred_idx, T, tick, rgb, raw_m, filt_m, cam,
-        cfg.max_depth_processed, weighting,
+        cfg.max_depth_processed, weighting, return_updated_pred=True,
     )
-    pred_idx2 = predict_indices(m, T, cam, tick, cfg.time_delta, cfg.max_depth_processed)
     m = clean(
         m, pred_idx2, T, tick, cam, cfg.confidence_threshold, cfg.time_delta,
         cfg.max_depth_processed, cfg.unstable_age,
@@ -287,7 +290,9 @@ def _empty_tracking_result():
     )
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "do_compact"), donate_argnums=(0,)
+)
 def _frame_main(
     m: SurfelMap,
     T_prev,                                  # (4,4) f32 carried pose
@@ -302,6 +307,7 @@ def _frame_main(
     fern_flat, fern_rgbd,                    # fern encode tables (see ferns)
     db_codes, db_good, db_time, db_count,    # fern keyframe code DB
     cfg: EngineConfig,
+    do_compact: bool = True,
 ):
     """The whole SLAM frame as ONE device program (ElasticFusion.cpp:270-607
     minus the host-decided loop-closure applications):
@@ -342,13 +348,14 @@ def _frame_main(
     )
     weighting = jnp.maximum(1.0 - w / 0.01, 0.5) * weight_mult
 
-    # tracking-failure gates on-device (cpp:326-344)
+    # tracking-failure gates on-device (cpp:326-344; 1e-4 literals there —
+    # config knobs here, see EngineConfig.reloc_icp_error)
     if cfg.reloc_mode:
         Ainv = jnp.linalg.inv(
             res.A.astype(jnp.float32) + jnp.eye(6, dtype=jnp.float32) * 1e-12
         )
-        cov_ok = jnp.all(jnp.diag(Ainv) < 1e-4)
-        track_ok = (res.icp_error < 1e-4) & cov_ok
+        cov_ok = jnp.all(jnp.diag(Ainv) < cfg.reloc_cov_threshold)
+        track_ok = (res.icp_error < cfg.reloc_icp_error) & cov_ok
     else:
         track_ok = jnp.bool_(True)
 
@@ -356,16 +363,16 @@ def _frame_main(
         pidx = predict_indices(
             mm, T, cam, tick, cfg.time_delta, cfg.max_depth_processed
         )
-        m2, stats = fuse(
+        # the post-fuse prediction clean needs is derived in the pixel
+        # domain by fuse — no second full-capacity predictIndices sort
+        m2, stats, pidx2 = fuse(
             mm, pidx, T, tick, rgb, raw_m, filt_m, cam,
-            cfg.max_depth_processed, weighting,
-        )
-        pidx2 = predict_indices(
-            m2, T, cam, tick, cfg.time_delta, cfg.max_depth_processed
+            cfg.max_depth_processed, weighting, return_updated_pred=True,
         )
         m3 = clean(
             m2, pidx2, T, tick, cam, cfg.confidence_threshold,
             cfg.time_delta, cfg.max_depth_processed, cfg.unstable_age,
+            do_compact=do_compact,
         )
         return m3, stats
 
@@ -638,6 +645,7 @@ class Engine:
         self._good = None
         self._last_frame_dev = None  # (depth_d, rgb_d) of latest dispatch
         self._count_est = 0         # host upper bound on map.count
+        self._count_finished = 0    # exact count of the last finished frame
         self._last_icp_error = 0.0
         self._last_icp_count = 0.0
         self._last_tracking_ok = True
@@ -773,28 +781,35 @@ class Engine:
         self._maybe_grow()
 
         tick_dev = self._rep(jnp.float32(self.tick))
-        # consume the recovery flag at dispatch (maxTime=0 right after a fern
-        # teleport, ElasticFusion.cpp:624-644) but CARRY it into the inflight
+        # consume the recovery flag at dispatch and CARRY it into the inflight
         # record: _reloc_update must see the per-frame value at finish time,
-        # not the engine attribute (already reset by then).
+        # not the engine attribute (already reset by then).  The whole-map
+        # recovery render (combinedPredict time=0, ElasticFusion.cpp:624-631)
+        # already happened in _teleport's _regenerate_carried — this frame
+        # tracks against it; its own end-of-frame predict is normal (the
+        # reference resets lastFrameRecovery before predict, cpp:361-364).
         was_recovery = self.last_frame_recovery
-        max_time = self._rep(jnp.float32(0.0)) if was_recovery else tick_dev
         self.last_frame_recovery = False
         fern_flat, fern_rgbd = self._fern_tables()
         db_codes, db_good, db_time, db_count = self._fern_db()
 
-        sw.tick("odom")
+        # span names are honest about pipelining: "dispatch" is the async
+        # submission of the whole frame program (not odometry time), "drain"
+        # is the host-side completion of frames older than pipeline_depth.
+        # Per-stage device costs live in tools_profile.py / PROFILE.md.
+        sw.tick("dispatch")
         out = _frame_main(
             self.map, self._T_dev, self._so3_hist,
             self._pred.vertex, self._pred.normal, self._pred.image,
             self._fill[0], self._fill[1], self._fill[2],
             self._dense_dev, depth_d, rgb_d,
-            tick_dev, max_time, self._rep(jnp.bool_(self.lost)),
+            tick_dev, tick_dev, self._rep(jnp.bool_(self.lost)),
             self._rep(jnp.float32(weight_multiplier)),
             fern_flat, fern_rgbd,
             db_codes, db_good, db_time, db_count, cfg,
+            do_compact=(self.tick % cfg.compact_every == 0),
         )
-        sw.tock("odom")
+        sw.tock("dispatch")
 
         # carried state advances immediately (device handles, no sync)
         self.map = out["map"]
@@ -812,15 +827,16 @@ class Engine:
             lost_at_dispatch=self.lost, recovery=was_recovery,
             seq=self._seq, out=out,
         ))
+        self._prefetch(self._finish_reads(out))
         self._seq += 1
         self._count_est += (cfg.camera.width * cfg.camera.height) // 4
         if not self.lost:
             self.tick += 1
 
-        sw.tick("Fuse")
+        sw.tick("drain")
         while len(self._inflight) > cfg.pipeline_depth:
             self._finish(self._inflight.popleft())
-        sw.tock("Fuse")
+        sw.tock("drain")
         sw.tock("Run")
         return self._result()
 
@@ -899,11 +915,15 @@ class Engine:
         self.map = self._shard_map(self.map)
         self._T_dev = self._rep(jnp.asarray(self.T_wc, jnp.float32))
         tick_dev = self._rep(jnp.float32(self.tick))
-        max_time = (
+        # right after a fern teleport the reference renders the WHOLE map
+        # (combinedPredict time=0, maxTime=tick, ElasticFusion.cpp:624-631):
+        # time=0 passes every surfel through the active-window gate so the
+        # confirming frame has a full prediction to track against
+        pred_time = (
             self._rep(jnp.float32(0.0)) if self.last_frame_recovery else tick_dev
         )
         (self._pred, self._fill, self._dense_dev, self._views) = _predict_only(
-            self.map, self._T_dev, tick_dev, max_time, filt_m, rgb_d,
+            self.map, self._T_dev, pred_time, tick_dev, filt_m, rgb_d,
             self._rep(jnp.bool_(self.lost)), cfg,
         )
         if self.ferns is not None:
@@ -917,18 +937,33 @@ class Engine:
             self._count_est = int(self.map.count)
 
     def _maybe_grow(self):
-        """Grow to the next capacity bucket before the tail can overflow,
-        tracking a host-side upper bound so no per-frame sync is needed."""
+        """Grow to the next capacity bucket before the tail can overflow.
+
+        `_count_est` is a host-side UPPER bound maintained without any sync:
+        `_finish` resets it to the finished frame's exact count plus
+        (H*W/4) per still-in-flight frame (fuse's per-frame append maximum —
+        the measurement subsample), and each dispatch adds another H*W/4.
+        Growing on the bound alone is safe (we only ever grow early, by at
+        most pipeline_depth+1 frame-maxima) and keeps the pipeline async —
+        an earlier flush()-to-resync here cost a full pipeline stall EVERY
+        frame once the estimate sat above the threshold (measured 81 ms of
+        device_get per frame at 640x480: the whole fps gap vs the chip
+        profile)."""
         cfg = self.cfg
         if self.map is None:
             return
         cap = self.map.capacity
-        if cap < cfg.max_surfels and self._count_est > 0.65 * cap:
-            self.flush()  # resync _count_est from real finished counts
-            if self._count_est > 0.65 * cap:
-                self.map = _grow_map(
-                    self.map, _next_bucket(2 * self._count_est, cfg.max_surfels)
-                )
+        # grow on the last FINISHED frame's exact count (the padded
+        # _count_est overshoots by (depth+1) frame-maxima and would grow a
+        # bucket early — per-surfel ops then run 2x slower for nothing).
+        # Worst case a full-novel-view burst saturates fuse's append clamp
+        # for the in-flight frames; the next finish triggers growth and the
+        # dropped measurements re-enter on the following frames.
+        est = self._count_finished or self._count_est
+        if cap < cfg.max_surfels and est > 0.65 * cap:
+            self.map = _grow_map(
+                self.map, _next_bucket(2 * est, cfg.max_surfels)
+            )
 
     def _result(self) -> FrameResult:
         return FrameResult(
@@ -943,21 +978,39 @@ class Engine:
 
     # -- consumer side of the pipeline ----------------------------------------
 
-    def _finish(self, rec) -> None:
-        """Host-side completion of one frame: one batched device read (free
-        once the frame has drained), pose log, relocalization state machine,
-        fern DB ops, loop-closure decisions."""
-        cfg = self.cfg
-        out = rec["out"]
+    def _finish_reads(self, out):
+        """The small per-frame outputs `_finish` materializes on the host."""
         res = out["res"]
         reads = [out["T"], res.icp_error, res.icp_count, out["track_ok"],
                  out["stats"].count]
-        if cfg.closeLoops:
+        if self.cfg.closeLoops:
             m2m = out["m2m"]
             reads += [out["codes"], out["good"], m2m.T_curr, m2m.icp_error,
                       m2m.icp_count, m2m.A, out["inact_px"], out["cons_pv"],
                       out["cons_ot"], out["add_min"], out["best_id"],
                       out["best_d"], out["block_hd"]]
+        return reads
+
+    @staticmethod
+    def _prefetch(reads) -> None:
+        """Start device->host copies of a frame's small outputs right at
+        dispatch: through the device tunnel a blocking device_get costs a
+        full RPC round trip (~30 ms) even when the data is long since
+        computed, so the copy must already be in flight by the time
+        `_finish` reads it pipeline_depth frames later."""
+        for r in reads:
+            try:
+                r.copy_to_host_async()
+            except AttributeError:
+                pass
+
+    def _finish(self, rec) -> None:
+        """Host-side completion of one frame: one batched device read
+        (overlapped — see _prefetch), pose log, relocalization state machine,
+        fern DB ops, loop-closure decisions."""
+        cfg = self.cfg
+        out = rec["out"]
+        reads = self._finish_reads(out)
         vals = jax.device_get(tuple(reads))
         T_np, err, cnt, tok, count = vals[:5]
 
@@ -965,6 +1018,7 @@ class Engine:
         self.T_wc = T_host
         self._last_icp_error = float(err)
         self._last_icp_count = float(cnt)
+        self._count_finished = int(count)
         self._count_est = int(count) + len(self._inflight) * (
             (cfg.camera.width * cfg.camera.height) // 4
         )

@@ -213,9 +213,29 @@ class Ferns:
         return (self._db_codes_dev, self._db_good_dev, self._db_time_dev,
                 jnp.int32(min(len(self.frames), self.db_capacity)))
 
+    def _grow_db(self) -> None:
+        """Double the device code-DB capacity (the reference DB is unbounded,
+        Ferns.cpp:78-160; a fixed device buffer that silently drops keyframes
+        would make retrieval go blind on long runs).  Costs one recompile of
+        the frame program per doubling — O(log frames) over a whole run."""
+        self.db_capacity *= 2
+        if self._db_codes_dev is None:
+            return
+        F = self.db_capacity
+        old_c, old_g, old_t = (
+            self._db_codes_dev, self._db_good_dev, self._db_time_dev)
+        n = old_c.shape[0]
+        self._db_codes_dev = jnp.full((F, self.num), BAD_CODE, jnp.int32
+                                      ).at[:n].set(old_c)
+        self._db_good_dev = jnp.zeros((F,), jnp.float32).at[:n].set(old_g)
+        self._db_time_dev = jnp.full((F,), jnp.inf, jnp.float32
+                                     ).at[:n].set(old_t)
+
     def _db_upload(self, idx: int, codes: np.ndarray, good: int,
                    src_time: int) -> None:
-        if self._db_codes_dev is None or idx >= self.db_capacity:
+        if idx >= self.db_capacity:
+            self._grow_db()
+        if self._db_codes_dev is None:
             return
         self._db_codes_dev = self._db_codes_dev.at[idx].set(
             jnp.asarray(codes.astype(np.int32)))
@@ -250,13 +270,18 @@ class Ferns:
         code = np.where(valid, code, BAD_CODE).astype(np.uint8)
         return code, int(valid.sum())
 
-    def _co_occurrences(self, codes: np.ndarray) -> np.ndarray:
-        """Matches per stored frame — equality scoring over the code matrix
-        (replaces the inverted index, same counts)."""
-        if len(self._code_db) == 0:
-            return np.zeros((0,), np.int64)
-        good = codes != BAD_CODE
-        return ((self._code_db == codes[None, :]) & good[None, :]).sum(axis=1)
+    def _score(self, codes: np.ndarray, good: int, time):
+        """Retrieval scoring of host codes against the DB — ONE
+        implementation: the device-scored path (`fern_score_device`), the
+        same program the engine traces in-frame.  Returns host scalars
+        (add_min, best_id, best_d, block_hd)."""
+        db_c, db_g, db_t, db_n = self.device_db()
+        add_min, best_id, best_d, block_hd = fern_score_device(
+            jnp.asarray(np.asarray(codes, np.int64).astype(np.int32)),
+            jnp.int32(good), db_c, db_g, db_t, db_n,
+            jnp.float32(time), self.cfg.fern_min_age,
+        )
+        return (float(add_min), int(best_id), float(best_d), float(block_hd))
 
     # -- public surface (addFrame / findFrame) -------------------------------
 
@@ -283,14 +308,9 @@ class Ferns:
         if good == 0:
             return False
         codes = np.asarray(codes, np.uint8).reshape(-1)
-        co = self._co_occurrences(codes)
-        if len(co):
-            max_co = np.minimum(good, self._good_db).astype(np.float64)
-            dissim = (max_co - co) / np.maximum(max_co, 1.0)
-            minimum = float(dissim.min())
-        else:
-            minimum = np.inf
-
+        minimum = (
+            self._score(codes, good, src_time)[0] if self.frames else np.inf
+        )
         if minimum > threshold or len(self.frames) == 0:
             return self._append_keyframe(codes, good, views, T_wc, src_time)
         return False
@@ -389,52 +409,18 @@ class Ferns:
 
     def find_frame_codes(self, codes: np.ndarray, good: int, views,
                          T_wc: np.ndarray, time: int, lost: bool):
-        """findFrame with codes precomputed on-device; the full decimated
-        views are only fetched when a retrieval candidate passes the
-        co-occurrence + blockHDAware gates (rare)."""
+        """findFrame with codes precomputed on-device.  Scoring goes through
+        the single device implementation (`_score` -> fern_score_device);
+        the accept branch (fern ICP + photometric check) is
+        `find_frame_scored`."""
         self.last_closest = -1
-        constraints: List[SurfaceConstraint] = []
         if not self.frames or good == 0:
-            return None, constraints
-
+            return None, []
         codes = np.asarray(codes, np.uint8).reshape(-1)
-        co = self._co_occurrences(codes)
-        max_co = np.minimum(good, self._good_db).astype(np.float64)
-        dissim = (max_co - co) / np.maximum(max_co, 1.0)
-        old_enough = (time - self._time_db) > self.cfg.fern_min_age
-        if not old_enough.any():
-            return None, constraints
-        dissim = np.where(old_enough, dissim, np.inf)
-        min_id = int(np.argmin(dissim))
-
-        # blockHDAware verification (cpp:228, 378-393)
-        fern = self.frames[min_id]
-        both = (codes != BAD_CODE) & (fern.codes != BAD_CODE)
-        if both.sum() == 0 or (codes[both] == fern.codes[both]).mean() <= 0.3:
-            return None, constraints
-
-        # only now pay for the full views (device->host on the lazy path)
-        rgb_s, vert_s, norm_s = _to_small(
-            views[0], views[1], views[2], self.height, self.width, self.factor
+        _, best_id, best_d, block_hd = self._score(codes, good, time)
+        return self.find_frame_scored(
+            best_id, best_d, block_hd, codes, good, views, T_wc, time, lost
         )
-
-        # fern-resolution depth-only ICP from the keyframe pose (cpp:241-250)
-        T_est = self._fern_icp(fern, vert_s, norm_s)
-        if T_est is None:
-            return None, constraints
-        T_est_mat, icp_error, icp_count = T_est
-
-        photo = self._photometric_check(vert_s, rgb_s, T_est_mat, fern)
-        icp_count_thresh = (
-            self.cfg.lost_inlier_relax if lost else self.cfg.fern_inlier_count
-        )
-        if not (icp_error < self.cfg.fern_icp_error
-                and icp_count > icp_count_thresh
-                and photo < self.cfg.photo_threshold):
-            return None, constraints
-
-        self.last_closest = min_id
-        return T_est_mat, self._emit_constraints(vert_s, T_wc, T_est_mat)
 
     # -- internals -----------------------------------------------------------
 

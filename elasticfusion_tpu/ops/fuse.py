@@ -55,60 +55,20 @@ class FuseStats(NamedTuple):
     count: jax.Array     # live surfel count after fuse
 
 
-def fuse(
-    m: SurfelMap,
-    pred: IndexPrediction,
-    T_wc: jax.Array,
-    tick,
-    rgb: jax.Array,              # [H,W,3] u8/f32
-    depth_raw_m: jax.Array,      # [H,W] metric raw depth (DEPTH_METRIC)
-    depth_filtered_m: jax.Array, # [H,W] metric filtered (DEPTH_METRIC_FILTERED)
-    cam: CameraConfig,
-    max_depth: float,
-    weighting,
-    return_updated_pred: bool = False,
-):
-    """GlobalModel::fuse (GlobalModel.cpp:356-525).  See module docstring.
-
-    With `return_updated_pred` the POST-fuse index prediction is derived in
-    the pixel domain and returned as a third output, replacing the
-    reference's second `predictIndices` render before clean
-    (ElasticFusion.cpp:554-555) — which here costs a full-capacity packed
-    sort (~9 ms at 640x480/512k).  This is exact for merges (a raster winner
-    projects to its own pixel by construction, so its pixel's contribution
-    sums ARE its update) and for appended surfels (a new surfel projects
-    exactly to the pixel it was measured at); the only divergence from a
-    re-render is a merged surfel whose averaged position crosses a pixel
-    boundary — its entry stays at the old pixel, within the 3x3 window every
-    consumer searches anyway."""
-    H, W = depth_raw_m.shape
-    n_px = H * W
-    cap = m.capacity
-
+def _window_search_xla(pred, z, n_local, measuring, conf_new, rad_new, rgb,
+                       R, t, cam: CameraConfig, cap: int):
+    """XLA fallback for the fused window-search + contribution-accumulation
+    stencil (ops/fuse_pallas.py is the TPU path): 9 shifted-image candidate
+    tests (data.vert:123-158) followed by the shift-by-winning-offset
+    contribution accumulation.  Returns (matched [H,W] bool, contrib
+    [12,H,W])."""
+    H, W = z.shape
     u = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
     v = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)
     ui = u.astype(jnp.int32)
     vi = v.astype(jnp.int32)
-
-    # --- measurement construction (data.vert:76-105) ---
-    z = depth_raw_m
     xl = (u - cam.cx) / cam.fx
     yl = (v - cam.cy) / cam.fy
-    v_local = jnp.stack([xl * z, yl * z, z], axis=0)           # raw-depth vertex
-    n_local, n_valid = central_diff_normals(depth_filtered_m, cam)
-    rad_new = surfel_radius(depth_filtered_m, n_local[2], cam)
-    conf_new = pixel_confidence(u, v, weighting, cam)
-
-    # --- validity gates (data.vert:110-114) ---
-    sub = ((ui % 2) == (tick % 2)) & ((vi % 2) == (tick % 2))
-    nb_ok = jnp.ones((H, W), jnp.bool_)
-    for dy, dx in ((0, -1), (-1, 0), (0, 1), (1, 0)):
-        nb = jnp.roll(jnp.roll(z, -dy, axis=0), -dx, axis=1)
-        row_in = (vi + dy >= 0) & (vi + dy < H) & (ui + dx >= 0) & (ui + dx < W)
-        nb_ok &= jnp.where(row_in, nb > 0, False)
-    measuring = sub & nb_ok & (z > 0) & (z <= max_depth) & n_valid
-
-    # --- window search for the best existing surfel (data.vert:123-158) ---
     lam = jnp.sqrt(xl * xl + yl * yl + 1.0)
     ray_norm = lam  # |(xl, yl, 1)|
     best_dist = jnp.full((H, W), 1000.0)
@@ -150,19 +110,12 @@ def fuse(
             best_rad = jnp.where(ok, shifted(pred.radius, dy, dx), best_rad)
             best_off = jnp.where(ok, oi, best_off)
 
-    matched = measuring & (best_id < cap)
-    new_pt = measuring & ~matched
+    # matched ⟺ some window candidate won (best_off records it); ids are NOT
+    # compared against `cap` — in shard-local mode (see fuse docstring) the
+    # prediction carries global ids that exceed this shard's capacity
+    matched = measuring & (best_off >= 0)
 
-    # --- merge accumulation (update.vert:49-92, generalized to all matches) ---
-    # Scatter-free: a surfel wins at most ONE index-map pixel w (it projects
-    # to a single pixel in the point raster), and a measuring pixel q matches
-    # it only when w lies in q's 3x3 window.  So all of s's measurement
-    # contributions live in the 3x3 neighbourhood of w: accumulate them as
-    # pixel-domain images (shift by the recorded winning offset) and fetch
-    # them per-surfel with ONE packed row-gather — big duplicate-index
-    # scatters run at scalar rate on TPU and are avoided entirely.
-    R = T_wc[:3, :3]
-    t = T_wc[:3, 3]
+    v_local = jnp.stack([xl * z, yl * z, z], axis=0)
     v_g = (R @ v_local.reshape(3, -1) + t[:, None])            # world
     n_g = R @ n_local.reshape(3, -1)
     col_meas = rgb.reshape(-1, 3).T.astype(jnp.float32)
@@ -189,6 +142,120 @@ def fuse(
         # to the surfel winning pixel w = q + (dy,dx): shift BY the offset
         sel = (best_off == oi)[None]
         contrib = contrib + shifted(jnp.where(sel, meas, 0.0), -dy, -dx)
+    return matched, contrib
+
+
+def fuse(
+    m: SurfelMap,
+    pred: IndexPrediction,
+    T_wc: jax.Array,
+    tick,
+    rgb: jax.Array,              # [H,W,3] u8/f32
+    depth_raw_m: jax.Array,      # [H,W] metric raw depth (DEPTH_METRIC)
+    depth_filtered_m: jax.Array, # [H,W] metric filtered (DEPTH_METRIC_FILTERED)
+    cam: CameraConfig,
+    max_depth: float,
+    weighting,
+    return_updated_pred: bool = False,
+    use_pallas: Optional[bool] = None,
+    id_base=None,
+    append_on=None,
+    append_base=None,
+    append_free=None,
+):
+    """GlobalModel::fuse (GlobalModel.cpp:356-525).  See module docstring.
+
+    Shard-local mode (parallel/shard_step.py): `m` is ONE shard of the map
+    while `pred` carries GLOBAL surfel ids.  `id_base` (i32) is this shard's
+    first global id (winner test becomes pred.index == id_base + slot);
+    `append_on` (bool) gates the append tail (only the frame's owner shard
+    appends); `append_base` (i32) is the GLOBAL id of the first appended
+    surfel (owner's id_base + count, identical on every shard so the
+    updated-pred images stay replicated).
+
+    With `return_updated_pred` the POST-fuse index prediction is derived in
+    the pixel domain and returned as a third output, replacing the
+    reference's second `predictIndices` render before clean
+    (ElasticFusion.cpp:554-555) — which here costs a full-capacity packed
+    sort (~9 ms at 640x480/512k).  This is exact for merges (a raster winner
+    projects to its own pixel by construction, so its pixel's contribution
+    sums ARE its update) and for appended surfels (a new surfel projects
+    exactly to the pixel it was measured at); the only divergence from a
+    re-render is a merged surfel whose averaged position crosses a pixel
+    boundary — its entry stays at the old pixel, within the 3x3 window every
+    consumer searches anyway."""
+    H, W = depth_raw_m.shape
+    n_px = H * W
+    cap = m.capacity
+
+    u = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
+    v = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)
+    ui = u.astype(jnp.int32)
+    vi = v.astype(jnp.int32)
+
+    # --- measurement construction (data.vert:76-105) ---
+    z = depth_raw_m
+    xl = (u - cam.cx) / cam.fx
+    yl = (v - cam.cy) / cam.fy
+    v_local = jnp.stack([xl * z, yl * z, z], axis=0)           # raw-depth vertex
+    n_local, n_valid = central_diff_normals(depth_filtered_m, cam)
+    rad_new = surfel_radius(depth_filtered_m, n_local[2], cam)
+    conf_new = pixel_confidence(u, v, weighting, cam)
+
+    # --- validity gates (data.vert:110-114) ---
+    sub = ((ui % 2) == (tick % 2)) & ((vi % 2) == (tick % 2))
+    nb_ok = jnp.ones((H, W), jnp.bool_)
+    for dy, dx in ((0, -1), (-1, 0), (0, 1), (1, 0)):
+        nb = jnp.roll(jnp.roll(z, -dy, axis=0), -dx, axis=1)
+        row_in = (vi + dy >= 0) & (vi + dy < H) & (ui + dx >= 0) & (ui + dx < W)
+        nb_ok &= jnp.where(row_in, nb > 0, False)
+    measuring = sub & nb_ok & (z > 0) & (z <= max_depth) & n_valid
+
+    R = T_wc[:3, :3]
+    t = T_wc[:3, 3]
+
+    # --- window search (data.vert:123-158) + merge accumulation
+    # (update.vert:49-92, generalized to all matches).  Scatter-free: a
+    # surfel wins at most ONE index-map pixel w (it projects to a single
+    # pixel in the point raster), and a measuring pixel q matches it only
+    # when w lies in q's 3x3 window.  So all of s's measurement
+    # contributions live in the 3x3 neighbourhood of w: accumulate them as
+    # pixel-domain images (shift by the recorded winning offset) and fetch
+    # them per-surfel with ONE packed row-gather — big duplicate-index
+    # scatters run at scalar rate on TPU and are avoided entirely.
+    on_tpu = jax.default_backend() == "tpu"
+    if use_pallas if use_pallas is not None else on_tpu:
+        # fused one-pass Pallas stencil: search + contribution accumulation
+        # read each channel once per VMEM tile (ops/fuse_pallas.py)
+        from .fuse_pallas import fuse_window
+
+        chan = jnp.concatenate([
+            (pred.index + 1).astype(jnp.float32)[None],
+            pred.vert, pred.normal, pred.radius[None],
+            z[None], n_local,
+            measuring.astype(jnp.float32)[None],
+            conf_new[None], rad_new[None],
+            jnp.moveaxis(rgb.astype(jnp.float32), -1, 0),
+        ], axis=0)
+        params = jnp.concatenate(
+            [R.reshape(-1), t]
+        ).astype(jnp.float32)
+        outk = fuse_window(
+            chan, params, cam.fx, cam.fy, cam.cx, cam.cy, cap,
+            interpret=not on_tpu,
+        )
+        matched = outk[3] > 0.0
+        contrib = outk[4:16]
+    else:
+        matched, contrib = _window_search_xla(
+            pred, z, n_local, measuring, conf_new, rad_new, rgb, R, t,
+            cam, cap,
+        )
+    new_pt = measuring & ~matched
+
+    v_g = (R @ v_local.reshape(3, -1) + t[:, None])            # world
+    n_g = R @ n_local.reshape(3, -1)
+    col_meas = rgb.reshape(-1, 3).T.astype(jnp.float32)
 
     # per-surfel fetch at its own projected pixel; valid only if it is the
     # index-map winner there (the contribution images are keyed to winners)
@@ -203,6 +270,8 @@ def fuse(
         proj_ok, jnp.clip(vs, 0, H - 1) * W + jnp.clip(us, 0, W - 1), 0
     )
     slot_ids = jax.lax.broadcasted_iota(jnp.int32, (cap, 1), 0).squeeze(-1)
+    if id_base is not None:
+        slot_ids = slot_ids + id_base
     got = packed_gather(
         (pred.index,
          contrib[0], contrib[1], contrib[2], contrib[3], contrib[4],
@@ -239,7 +308,12 @@ def fuse(
     # count+n_px) with contiguous dynamic slices (pure DMA).
     npm = new_pt.reshape(-1)
     tickf = jnp.float32(tick)
-    n_new = jnp.minimum(jnp.sum(npm.astype(jnp.int32)), cap - m.count)
+    # n_app: the frame's global append count (identical on every shard —
+    # derived from replicated images + the owner's free-slot budget);
+    # n_new: the slots THIS call physically writes (0 on non-owner shards)
+    free = (cap - m.count) if append_free is None else append_free
+    n_app = jnp.minimum(jnp.sum(npm.astype(jnp.int32)), free)
+    n_new = n_app if append_on is None else jnp.where(append_on, n_app, 0)
 
     px_slot = jax.lax.broadcasted_iota(jnp.int32, (n_px, 1), 0).squeeze(-1)
     _, px_perm = jax.lax.sort(
@@ -251,24 +325,27 @@ def fuse(
          n_g[0], n_g[1], n_g[2], rad_new.reshape(-1)),
         px_perm,
     )
-    # dynamic_slice clamps its start to keep the n_px window in-bounds; when
-    # clamped (count > cap - n_px) the window's first `shift` rows are LIVE
+    # dynamic_slice clamps its start to keep the window in-bounds; when
+    # clamped (count > cap - window) the window's first `shift` rows are LIVE
     # surfels, so roll the new rows forward by `shift` and only overwrite
-    # window rows [shift, shift + n_writable)
-    start = jnp.minimum(m.count, cap - n_px)
+    # window rows [shift, shift + n_writable).  The window is min(n_px, cap)
+    # so tiny maps (capacity below one frame's pixel count) stay in-bounds —
+    # their appends simply clamp at capacity.
+    win_n = min(n_px, cap)
+    start = jnp.maximum(jnp.minimum(m.count, cap - win_n), 0)
     shift = m.count - start
     n_new = jnp.minimum(n_new, cap - m.count)
-    widx = jax.lax.broadcasted_iota(jnp.int32, (n_px, 1), 0).squeeze(-1)
+    widx = jax.lax.broadcasted_iota(jnp.int32, (win_n, 1), 0).squeeze(-1)
     wmask = (widx >= shift) & (widx < shift + n_new)
 
     def wr1(arr, newvals):
-        old = jax.lax.dynamic_slice(arr, (start,), (n_px,))
-        win = jnp.where(wmask, jnp.roll(newvals, shift), old)
+        old = jax.lax.dynamic_slice(arr, (start,), (win_n,))
+        win = jnp.where(wmask, jnp.roll(newvals, shift)[:win_n], old)
         return jax.lax.dynamic_update_slice(arr, win, (start,))
 
     def wr3(arr, c0, c1, c2):
-        old = jax.lax.dynamic_slice(arr, (0, start), (3, n_px))
-        new3 = jnp.roll(jnp.stack([c0, c1, c2]), shift, axis=1)
+        old = jax.lax.dynamic_slice(arr, (0, start), (3, win_n))
+        new3 = jnp.roll(jnp.stack([c0, c1, c2]), shift, axis=1)[:, :win_n]
         win = jnp.where(wmask[None], new3, old)
         return jax.lax.dynamic_update_slice(arr, win, (0, start))
 
@@ -288,7 +365,61 @@ def fuse(
         added=n_new,
         count=out.count,
     )
-    return out, stats
+    if not return_updated_pred:
+        return out, stats
+
+    # --- pixel-domain post-fuse index prediction ---------------------------
+    # Replaces the second predictIndices render before clean
+    # (ElasticFusion.cpp:554-555), a full-capacity packed sort.  Exactness
+    # argument (module docstring): a raster winner projects to its own pixel,
+    # so pixel w's contribution sums ARE the winner's update; an appended
+    # surfel projects exactly to the pixel it was measured at.
+    idx_valid = pred.index >= 0
+    sum_a_px = contrib[0]
+    sum_af_px = contrib[1]
+    sum_av_px = contrib[2:5]
+    sum_an_px = contrib[8:11]
+    sum_ar_px = contrib[11]
+    c_px = pred.conf
+    touched_px = idx_valid & (sum_a_px > 0)
+    hf = idx_valid & (sum_af_px > 0)
+    den = jnp.where(hf, c_px + sum_af_px, 1.0)
+    world_old = (R @ pred.vert.reshape(3, -1) + t[:, None]).reshape(3, H, W)
+    new_world = (c_px[None] * world_old + sum_av_px) / den[None]
+    vert_m = (T_cw_R @ (new_world.reshape(3, -1) - t[:, None])).reshape(3, H, W)
+    p_vert = jnp.where(hf[None], vert_m, pred.vert)
+    nw_old = (R @ pred.normal.reshape(3, -1)).reshape(3, H, W)
+    nw = c_px[None] * nw_old + sum_an_px
+    nw_len = jnp.sqrt(jnp.sum(nw * nw, axis=0, keepdims=True))
+    norm_m = (T_cw_R @ (nw / jnp.maximum(nw_len, 1e-12)).reshape(3, -1)
+              ).reshape(3, H, W)
+    p_norm = jnp.where(hf[None], norm_m, pred.normal)
+    p_rad = jnp.where(hf, (c_px * pred.radius + sum_ar_px) / den, pred.radius)
+    p_conf = jnp.where(idx_valid, c_px + sum_a_px, pred.conf)
+    p_last = jnp.where(touched_px, tickf, pred.last_t)
+
+    # appended surfels: the stable sort in the append path preserves pixel
+    # raster order, so a new point's slot is count + its exclusive-prefix rank
+    npm_i = npm.astype(jnp.int32)
+    rank = (jnp.cumsum(npm_i) - npm_i).reshape(H, W)
+    app_px = new_pt & (rank < n_app)
+    z_new = v_local[2]
+    # z-buffer vs the existing winner (ties keep the old, lower id)
+    app_wins = app_px & (~idx_valid | (z_new < p_vert[2]))
+    new_ids = (m.count if append_base is None else append_base) + rank
+    p_index = jnp.where(app_wins, new_ids, pred.index)
+    p_vert = jnp.where(app_wins[None], v_local, p_vert)
+    p_norm = jnp.where(app_wins[None], n_local, p_norm)
+    p_rad = jnp.where(app_wins, rad_new, p_rad)
+    p_conf = jnp.where(app_wins, conf_new, p_conf)
+    p_init = jnp.where(app_wins, tickf, pred.init_t)
+    p_last = jnp.where(app_wins, tickf, p_last)
+
+    upd = IndexPrediction(
+        index=p_index, vert=p_vert, normal=p_norm, radius=p_rad,
+        conf=p_conf, init_t=p_init, last_t=p_last,
+    )
+    return out, stats, upd
 
 
 def clean(
@@ -305,6 +436,7 @@ def clean(
     deformed: Optional[jax.Array] = None,     # [3,N] deformed positions
     deformed_normal: Optional[jax.Array] = None,
     fern_accepted: bool = False,
+    do_compact: bool = True,
 ) -> SurfelMap:
     """GlobalModel::clean (GlobalModel.cpp:527-671, copy_unstable.vert).
 
@@ -425,4 +557,25 @@ def clean(
             )
             out = out._replace(last_t=jnp.where(refresh, jnp.float32(tick), out.last_t))
 
-    return compact(out, keep)
+    if do_compact:
+        return compact(out, keep)
+    # Amortized compaction: mark culled surfels dead IN PLACE (the same
+    # zeroing compact applies) instead of paying the full-capacity
+    # permutation sort every frame.  Dead rows below `count` are inert:
+    # last_t=-1e9 fails every time-window gate (predict/clean/in_view),
+    # conf=0 fails the stable gates, init_t=+inf makes a sampled dead slot
+    # identical to the deformation graph's capacity padding
+    # (deformation._init_graph's +inf tail convention).  The engine runs a
+    # real compact every cfg.compact_every frames to reclaim the slots.
+    slot = jax.lax.broadcasted_iota(jnp.int32, (cap, 1), 0).squeeze(-1)
+    live_keep = keep | (slot >= m.count)
+    kf = live_keep.astype(jnp.float32)
+    return out._replace(
+        pos=out.pos * kf[None],
+        normal=out.normal * kf[None],
+        color=out.color * kf[None],
+        conf=out.conf * kf,
+        radius=out.radius * kf,
+        last_t=jnp.where(live_keep, out.last_t, -1e9),
+        init_t=jnp.where(live_keep, out.init_t, jnp.inf),
+    )

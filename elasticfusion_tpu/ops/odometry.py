@@ -36,15 +36,33 @@ class Gram(NamedTuple):
     count: jax.Array
 
 
-def _gram_from_rows(rows: jax.Array, valid: jax.Array) -> Gram:
-    """rows [7,N] (zeroed where invalid), valid [N] bool → Gram.
+def _gram_outer(rows: jax.Array) -> jax.Array:
+    """rows [K,N] -> rows @ rowsᵀ [K,K] without the hidden transpose.
 
-    The einsum is a (7,N)×(N,7) matmul — MXU work, replacing the reference's
-    grid-stride + warp-shuffle block reduction (reduce.cu:57-140).  Rows are
-    laid out [7,N] so the big axis is the TPU lane dimension: an [N,7] array
-    pads 7 lanes up to 128 (an 18x HBM blowup at 640x480), which made the
-    row materialization the hottest op of the whole tracker."""
-    G = jnp.einsum("in,jn->ij", rows, rows, preferred_element_type=jnp.float32)
+    A direct einsum("in,jn->ij") makes XLA materialize one operand as [N,K],
+    padding K lanes up to 128 — a ~18x HBM blowup that profiled at ~1 ms per
+    Gauss-Newton iteration (the two Gram ops were 80% of the tracking loop).
+    Chunking N into 128-lane blocks and batching tiny [K,128]x[128,K] dots
+    keeps both operands lane-major ([C,K,128] each) and runs at VPU/MXU
+    speed (~30 us): the reduction replaces the reference's warp-shuffle tree
+    (reduce.cu:57-140) at the same f32 accumulation order per block."""
+    K, N = rows.shape
+    pad = (-N) % 128
+    if pad:
+        rows = jnp.pad(rows, ((0, 0), (0, pad)))
+    rc = jnp.swapaxes(rows.reshape(K, -1, 128), 0, 1)       # [C, K, 128]
+    G = jax.lax.dot_general(
+        rc, rc, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )                                                        # [C, K, K]
+    return jnp.sum(G, axis=0)
+
+
+def _gram_from_rows(rows: jax.Array, valid: jax.Array) -> Gram:
+    """rows [7,N] (zeroed where invalid), valid [N] bool → Gram.  Produces
+    the 29 floats of the reference's two-stage reduction (types.cuh:98-143)
+    with no host round-trip: A = G[:6,:6], b = G[:6,6], Σr² = G[6,6]."""
+    G = _gram_outer(rows)
     return Gram(
         A=G[:6, :6], b=G[:6, 6], sum_sq=G[6, 6], count=jnp.sum(valid.astype(jnp.float32))
     )
@@ -404,7 +422,7 @@ def so3_step(
 
     rows = jnp.concatenate([jac, resid[None]], axis=0)       # (4,N)
     rows = jnp.where(found[None, :], rows, 0.0)
-    G = jnp.einsum("in,jn->ij", rows, rows, preferred_element_type=jnp.float32)
+    G = _gram_outer(rows)
     return GramSO3(
         A=G[:3, :3],
         b=G[:3, 3],
@@ -427,8 +445,65 @@ def project_to_point_cloud(
 
 
 def solve_6x6(A: jax.Array, b: jax.Array) -> jax.Array:
-    """On-device 6×6 LDLT-equivalent solve (reference: Eigen ldlt on host,
-    RGBDOdometry.cpp:522-537).  Uses a damped Cholesky solve; the tiny
-    damping guards rank deficiency when a frame has no valid pixels."""
+    """On-device 6×6 solve (reference: Eigen ldlt on host,
+    RGBDOdometry.cpp:522-537) as a fully UNROLLED Cholesky.
+
+    A is the SPD Gauss-Newton normal matrix, so Cholesky is exact; the tiny
+    damping guards rank deficiency when a frame has no valid pixels.  The
+    unroll matters on TPU: `jnp.linalg.solve` lowers to a pivoted-LU routine
+    whose sequential scalar control flow costs ~1 ms per call on the scalar
+    core — inside the {10,5,4}-iteration GN loop that was most of the
+    tracker's runtime.  ~110 straight-line scalar FMAs compile to nothing."""
     A = A + jnp.eye(6, dtype=A.dtype) * 1e-12
-    return jnp.linalg.solve(A, b)
+    return _chol_solve_unrolled(A, b, 6)
+
+
+def _chol_solve_unrolled(A: jax.Array, b: jax.Array, n: int) -> jax.Array:
+    """Unrolled dense Cholesky solve for a tiny SPD system (n <= 8)."""
+    L = [[None] * n for _ in range(n)]
+    inv_d = [None] * n
+    for j in range(n):
+        s = A[j, j]
+        for k in range(j):
+            s = s - L[j][k] * L[j][k]
+        inv_d[j] = jax.lax.rsqrt(jnp.maximum(s, 1e-30))
+        for i in range(j + 1, n):
+            s2 = A[i, j]
+            for k in range(j):
+                s2 = s2 - L[i][k] * L[j][k]
+            L[i][j] = s2 * inv_d[j]
+    y = [None] * n
+    for i in range(n):
+        s = b[i]
+        for k in range(i):
+            s = s - L[i][k] * y[k]
+        y[i] = s * inv_d[i]
+    x = [None] * n
+    for i in reversed(range(n)):
+        s = y[i]
+        for k in range(i + 1, n):
+            s = s - L[k][i] * x[k]
+        x[i] = s * inv_d[i]
+    return jnp.stack(x)
+
+
+def solve_3x3(A: jax.Array, b: jax.Array) -> jax.Array:
+    """Damped 3×3 solve by Cramer's rule — straight-line scalar ops instead
+    of the TPU-hostile pivoted-LU path (used by the SO3 pre-alignment loop,
+    reduce.cu:789-973 consumer)."""
+    A = A + jnp.eye(3, dtype=A.dtype) * 1e-12
+    c00 = A[1, 1] * A[2, 2] - A[1, 2] * A[2, 1]
+    c01 = A[1, 2] * A[2, 0] - A[1, 0] * A[2, 2]
+    c02 = A[1, 0] * A[2, 1] - A[1, 1] * A[2, 0]
+    det = A[0, 0] * c00 + A[0, 1] * c01 + A[0, 2] * c02
+    inv_det = 1.0 / jnp.where(jnp.abs(det) > 1e-30, det, 1e-30)
+    c10 = A[0, 2] * A[2, 1] - A[0, 1] * A[2, 2]
+    c11 = A[0, 0] * A[2, 2] - A[0, 2] * A[2, 0]
+    c12 = A[0, 1] * A[2, 0] - A[0, 0] * A[2, 1]
+    c20 = A[0, 1] * A[1, 2] - A[0, 2] * A[1, 1]
+    c21 = A[0, 2] * A[1, 0] - A[0, 0] * A[1, 2]
+    c22 = A[0, 0] * A[1, 1] - A[0, 1] * A[1, 0]
+    x0 = (c00 * b[0] + c10 * b[1] + c20 * b[2]) * inv_det
+    x1 = (c01 * b[0] + c11 * b[1] + c21 * b[2]) * inv_det
+    x2 = (c02 * b[0] + c12 * b[1] + c22 * b[2]) * inv_det
+    return jnp.stack([x0, x1, x2])

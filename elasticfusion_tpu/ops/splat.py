@@ -237,7 +237,19 @@ def combined_predict(
     )
     pid = _point_raster(pos_c, gate, cam, live)
     ch = _gather_surfel_channels(m, pos_c, normal_c, pid)
+    return splat_resolve_images(ch, cam, footprint, use_pallas)
 
+
+def splat_resolve_images(
+    ch: dict,
+    cam: CameraConfig,
+    footprint: int = 5,
+    use_pallas: Optional[bool] = None,
+) -> Prediction:
+    """The splat-resolve stage of combinedPredict on winner channel IMAGES
+    (the _gather_surfel_channels dict).  Split out so the shard_map scaling
+    path (parallel/shard_step.py) can run it on the cross-shard MERGED
+    images — the stage is pure pixel-domain (replicated) compute."""
     H, W = cam.height, cam.width
 
     # hot path: the fused one-read Pallas stencil (z-min + blend in VMEM)

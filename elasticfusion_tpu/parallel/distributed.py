@@ -76,24 +76,50 @@ def merge_fern_candidates(
 
 
 class PartitionedFerns:
-    """Host-sharded fern DB wrapper: `add_frame_codes` keeps only keyframes
-    this host owns (round-robin by global keyframe index); `find_frame_codes`
-    scores the local shard.  The engine resolves the global winner by
-    comparing each host's best dissimilarity (merge_fern_candidates when run
-    under a collective context, or host-side gather in the driver loop)."""
+    """Host-sharded fern DB: keyframe ownership is `src_time % n_hosts` —
+    deterministic on every host with zero communication (each host's accept
+    gate scores only its own shard, so accept decisions may differ slightly
+    across hosts; ownership must not depend on them).  The modulo spreads
+    each host's shard temporally, so the age>min_age retrieval gate
+    (Ferns.cpp:218) never empties one host.  Retrieval scores the local
+    shard; the global winner is resolved from the per-host (dissimilarity,
+    id) bests by `merge_fern_candidates`.
+
+    Drop-in for the Engine's `ferns` attribute: the engine-facing surface
+    (`add_frame_scored`, `find_frame_scored`, `device_db`, `encode_tables`,
+    `frames`, `last_closest`, ...) delegates to the wrapped `Ferns`, with
+    the add path intercepted for ownership."""
 
     def __init__(self, ferns, n_hosts: int, host_id: int):
-        self.ferns = ferns
-        self.n_hosts = n_hosts
-        self.host_id = host_id
-        self._global_count = 0
+        # bypass __getattr__ recursion during construction
+        object.__setattr__(self, "ferns", ferns)
+        object.__setattr__(self, "n_hosts", n_hosts)
+        object.__setattr__(self, "host_id", host_id)
+
+    def __getattr__(self, name):
+        # everything not intercepted delegates to the wrapped Ferns
+        return getattr(self.ferns, name)
+
+    def _owns(self, src_time: int) -> bool:
+        return int(src_time) % self.n_hosts == self.host_id
 
     def add_frame_codes(self, codes, good, views, T_wc, src_time, **kw) -> bool:
-        owner = self._global_count % self.n_hosts
-        self._global_count += 1
-        if owner != self.host_id:
+        if not self._owns(src_time):
             return False
-        return self.ferns.add_frame_codes(codes, good, views, T_wc, src_time, **kw)
+        return self.ferns.add_frame_codes(
+            codes, good, views, T_wc, src_time, **kw
+        )
+
+    def add_frame_scored(self, add_min, codes, good, views, T_wc,
+                         src_time) -> bool:
+        if not self._owns(src_time):
+            return False
+        return self.ferns.add_frame_scored(
+            add_min, codes, good, views, T_wc, src_time
+        )
 
     def find_frame_codes(self, *a, **kw):
         return self.ferns.find_frame_codes(*a, **kw)
+
+    def find_frame_scored(self, *a, **kw):
+        return self.ferns.find_frame_scored(*a, **kw)

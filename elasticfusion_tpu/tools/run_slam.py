@@ -53,6 +53,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-icl", dest="iclnuim", action="store_true")
     p.add_argument("-surfels", dest="max_surfels", type=int, default=1 << 22)
     p.add_argument("-res", dest="res", default="640x480")
+    # multi-host bring-up (parallel/distributed.py): every process runs the
+    # same loop over the same stream; the map mesh spans all processes and
+    # the fern DB is partitioned per host
+    p.add_argument("-dist-coordinator", dest="dist_coordinator", default=None,
+                   help="jax.distributed coordinator address host:port")
+    p.add_argument("-dist-nprocs", dest="dist_nprocs", type=int, default=None)
+    p.add_argument("-dist-rank", dest="dist_rank", type=int, default=None)
+    p.add_argument("-mesh", dest="mesh", type=int, default=None,
+                   help="shard the surfel map over N devices")
     return p
 
 
@@ -65,6 +74,14 @@ def main(argv=None) -> int:
     from ..engine import Engine
     from ..io.klg import open_klg
     from ..io.trajectory import ate_rmse, read_freiburg
+    from ..parallel.distributed import initialize_from_env
+
+    # multi-host bring-up must happen before any jax device use
+    initialize_from_env(
+        coordinator=args.dist_coordinator,
+        num_processes=args.dist_nprocs,
+        process_id=args.dist_rank,
+    )
 
     w, h = (int(x) for x in args.res.split("x"))
     if args.cal:
@@ -90,6 +107,7 @@ def main(argv=None) -> int:
         frame_to_frame_rgb=args.frame_to_frame,
         fast_odom=args.fast_odom,
         max_surfels=args.max_surfels,
+        mesh_shape=(args.mesh,) if args.mesh else None,
     )
 
     if args.log:
@@ -105,6 +123,16 @@ def main(argv=None) -> int:
         reader.fast_forward(args.skip)
 
     eng = Engine(cfg)
+    # partition the fern DB per host (SURVEY §5.8): each process keeps only
+    # the keyframes it owns; retrieval scores the local shard
+    import jax
+
+    if eng.ferns is not None and jax.process_count() > 1:
+        from ..parallel.distributed import PartitionedFerns
+
+        eng.ferns = PartitionedFerns(
+            eng.ferns, jax.process_count(), jax.process_index()
+        )
     n_done = 0
     n_skipped = 0
     stats_f = open(args.stats, "w") if args.stats else None
@@ -125,8 +153,8 @@ def main(argv=None) -> int:
                 "fused": res.fused, "lost": res.lost,
                 "deforms": eng.deforms, "fern_deforms": eng.fern_deforms,
                 "run_ms": round(sw.get("Run", 0.0), 2),
-                "odom_ms": round(sw.get("odom", 0.0), 2),
-                "fuse_ms": round(sw.get("Fuse", 0.0), 2),
+                "dispatch_ms": round(sw.get("dispatch", 0.0), 2),
+                "drain_ms": round(sw.get("drain", 0.0), 2),
             }) + "\n")
         # frameskip controller (MainController.cpp:249-251): a frame that
         # overran the 33.3 ms budget drops the frames a live camera would

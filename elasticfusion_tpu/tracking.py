@@ -33,6 +33,7 @@ from .ops.odometry import (
     rgb_step,
     so3_neighborhood_table,
     so3_step,
+    solve_3x3,
     solve_6x6,
 )
 from .ops.preprocess import (
@@ -123,7 +124,7 @@ def _so3_prealign(
         converged = (err < lastError) & (lastCount == G.count)
         diverged = err > lastError + 0.001
 
-        delta = jnp.linalg.solve(G.A + jnp.eye(3) * 1e-12, G.b)
+        delta = solve_3x3(G.A, G.b)
         newR = so3_exp(delta) @ resultR
 
         resultR_next = jnp.where(
@@ -278,10 +279,17 @@ def get_incremental_transformation(
                 rgb_error = jnp.float32(0.0)
                 rgb_size = jnp.float32(0.0)
 
-            # rgbOnly divergence break (cpp:448-451): freeze further updates
-            stop = carry["stop"]
+            # rgbOnly divergence break (cpp:448-451): REVERT to the pre-update
+            # state (the update made things worse).  Distinct from the
+            # convergence exits below, which keep this iteration's freshly
+            # computed stats — they describe the final pose and must come
+            # from the level actually reached (the reference reports the
+            # last executed icpStep's residual/count, RGBDOdometry.cpp:
+            # 492-493, which is always the finest level).
+            revert = jnp.bool_(False)
             if cfg.rgb_only:
-                stop = stop | (rgb_error > lastRGBError)
+                revert = rgb_error > lastRGBError
+            stop = carry["stop"] | revert
 
             T_curr = (
                 jnp.eye(4, dtype=jnp.float32)
@@ -364,9 +372,11 @@ def get_incremental_transformation(
                 prev_err=total_err,
                 stop=stop,
             )
-            # freeze when stopped (rgbOnly divergence)
+            # revert only on divergence; a convergence stop keeps this
+            # iteration's values (stats from the level reached, and an
+            # update that is below gn_early_exit anyway)
             return {
-                k: jnp.where(stop, prev[k], new[k]) if k != "stop" else new[k]
+                k: jnp.where(revert, prev[k], new[k]) if k != "stop" else new[k]
                 for k in new
             }
 

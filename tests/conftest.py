@@ -2,6 +2,18 @@
 paths are exercised without TPU hardware (SURVEY.md §4)."""
 
 import os
+import resource
+
+# XLA:CPU's LLVM pipeline recurses deeply while compiling the engine's large
+# frame programs; with the default 8 MB stack the suite segfaults
+# intermittently inside backend_compile_and_load (observed repeatedly on
+# this sandbox).  The hard limit is unlimited — let the main stack grow.
+_soft, _hard = resource.getrlimit(resource.RLIMIT_STACK)
+if _soft != resource.RLIM_INFINITY:
+    try:
+        resource.setrlimit(resource.RLIMIT_STACK, (_hard, _hard))
+    except (ValueError, OSError):
+        pass
 
 # Tests run on a virtual 8-device CPU mesh.  The sandbox's sitecustomize
 # eagerly registers the axon TPU backend at interpreter start, so env vars
@@ -16,6 +28,17 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# Persistent compilation cache: the engine's frame programs are large and the
+# suite re-traces them for several EngineConfigs; on a small-CPU box the
+# compiles dominate wall time (and repeated in-process giant compiles have
+# produced flaky XLA:CPU segfaults).  Cache them on disk across runs.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(__file__), os.pardir, ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
@@ -39,3 +62,9 @@ def scene():
     from elasticfusion_tpu.utils.synthetic import make_scene
 
     return make_scene(n_side=700)
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running accuracy pins (full-resolution solves)"
+    )

@@ -75,6 +75,6 @@ def test_engine_accepts_external_pose(scene, small_cam):
 
 def test_engine_timings_populated(run):
     eng, _ = run
-    for k in ("Run", "Preprocess", "odom", "Fuse"):
+    for k in ("Run", "Preprocess", "dispatch", "drain"):
         assert k in eng.stopwatch.timings
         assert eng.stopwatch.timings[k] >= 0.0

@@ -5,7 +5,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from elasticfusion_tpu.config import EngineConfig
+from elasticfusion_tpu.config import CameraConfig, EngineConfig
 from elasticfusion_tpu.ops.preprocess import metricise_depth, compute_vmap, compute_nmap
 from elasticfusion_tpu.tracking import (
     OdometryInputs,
@@ -120,3 +120,21 @@ def test_nonidentity_start_pose(scene, small_cfg):
     dt, ang = _pose_errors(res.T_curr, T1)
     assert dt < 4e-3
     assert ang < np.deg2rad(0.3)
+
+
+@pytest.mark.slow
+def test_full_res_recovers_ambiguous_motion():
+    """Pins the 640x480 claim the y+pitch comment above cites: at the real
+    sensor resolution the translation/rotation-ambiguous motion recovers to
+    <= 2.5 mm (measured 2.2 mm; RGBDOdometry.cpp:371-373 iteration budget).
+    Slow: one full-resolution solve on the CPU test mesh."""
+    cam = CameraConfig()  # 640x480
+    cfg = EngineConfig(camera=cam)
+    scene = make_scene(n_side=1400)
+    T0 = np.eye(4)
+    T1 = pose_from_xyzrpy(y=0.01, pitch=np.deg2rad(0.6))
+    inputs = _frame_inputs(scene, cfg, T0, T1)
+    res = get_incremental_transformation(inputs, cfg)
+    dt, ang = _pose_errors(res.T_curr, T1)
+    assert dt < 2.5e-3, f"translation error {dt*1000:.2f} mm"
+    assert ang < np.deg2rad(0.3), f"rotation error {np.rad2deg(ang):.3f} deg"
