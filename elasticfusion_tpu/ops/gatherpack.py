@@ -69,6 +69,57 @@ def gather_packed(packed, flat_idx: jax.Array):
     return out
 
 
+def pack_fx16(channels: Sequence[jax.Array]):
+    """Pack channels TWO-PER-LANE as u16 fixed point with per-channel
+    dynamic range — HALF the random-read bytes of `pack_channels` for
+    gather-bandwidth-bound consumers (measured: the full-res ICP gather is
+    the tracking GN loop's dominant cost).
+
+    Quantization: q = round((c - lo) / scale) with scale = (hi - lo)/65535
+    computed from the channel's own min/max (traced scalars, hoisted with
+    the table).  Max decode error is scale/2 — e.g. 0.08 mm for a 10 m
+    position range, 1.5e-5 for unit normals.  NOTE exact zeros do NOT
+    survive quantization: validity tests downstream must use a threshold
+    above the decode noise (e.g. n-square > 1e-6), not `> 0`.
+
+    Returns ("fx16", table [ceil(C/2), T] f32-bitcast-u32, los [C], scales
+    [C]); gather with `gather_fx16`."""
+    qs = []
+    los = []
+    scales = []
+    for c in channels:
+        c = c.reshape(-1).astype(jnp.float32)
+        lo = jnp.min(c)
+        hi = jnp.max(c)
+        scale = jnp.maximum(hi - lo, 1e-20) / 65535.0
+        q = jnp.clip(jnp.round((c - lo) / scale), 0.0, 65535.0).astype(jnp.uint32)
+        qs.append(q)
+        los.append(lo)
+        scales.append(scale)
+    if len(qs) % 2:
+        qs.append(jnp.zeros_like(qs[0]))
+    words = [
+        qs[2 * i] | (qs[2 * i + 1] << 16) for i in range(len(qs) // 2)
+    ]
+    tbl = jax.lax.bitcast_convert_type(jnp.stack(words, axis=0), jnp.float32)
+    return ("fx16", _bar(tbl), jnp.stack(los), jnp.stack(scales))
+
+
+def gather_fx16(packed, flat_idx: jax.Array):
+    """Gather + decode a `pack_fx16` table at [N] indices (caller clips)."""
+    _tag, tbl, los, scales = packed
+    rows = jax.lax.bitcast_convert_type(
+        _bar(jnp.take(tbl, _bar(flat_idx), axis=1)), jnp.uint32
+    )  # [C2, N]
+    out = []
+    n = los.shape[0]
+    for i in range(n):
+        w = rows[i // 2]
+        q = (w & 0xFFFF) if i % 2 == 0 else (w >> 16)
+        out.append(q.astype(jnp.float32) * scales[i] + los[i])
+    return out
+
+
 def packed_gather(channels: Sequence[jax.Array], flat_idx: jax.Array):
     """Gather every channel at `flat_idx` via one packed row-gather.
 

@@ -23,7 +23,13 @@ from typing import NamedTuple, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from .gatherpack import gather_packed, pack_channels, packed_gather
+from .gatherpack import (
+    gather_fx16,
+    gather_packed,
+    pack_channels,
+    pack_fx16,
+    packed_gather,
+)
 from .preprocess import SOBEL_SCALE
 
 
@@ -80,12 +86,17 @@ def _flat_gather(img: jax.Array, flat_idx: jax.Array) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 
-def icp_prev_table(vmap_g_prev: jax.Array, nmap_g_prev: jax.Array):
-    """Pack the (loop-invariant) model vertex+normal maps for icp_step."""
-    return pack_channels(
-        (vmap_g_prev[0], vmap_g_prev[1], vmap_g_prev[2],
-         nmap_g_prev[0], nmap_g_prev[1], nmap_g_prev[2])
-    )
+def icp_prev_table(vmap_g_prev: jax.Array, nmap_g_prev: jax.Array,
+                   fx16: bool = False):
+    """Pack the (loop-invariant) model vertex+normal maps for icp_step.
+
+    fx16 packs two u16 fixed-point channels per lane — half the random-read
+    bytes of the f32 table for the bandwidth-bound per-iteration gather
+    (<=0.1 mm position quantization at typical scene ranges; the tracking
+    loop opts in, kernel-golden tests keep exact f32)."""
+    ch = (vmap_g_prev[0], vmap_g_prev[1], vmap_g_prev[2],
+          nmap_g_prev[0], nmap_g_prev[1], nmap_g_prev[2])
+    return pack_fx16(ch) if fx16 else pack_channels(ch)
 
 
 def rgb_last_table(last_depth: jax.Array, last_image: jax.Array,
@@ -172,12 +183,20 @@ def icp_step(
     flat = jnp.clip(v_proj, 0, H - 1) * W + jnp.clip(u_proj, 0, W - 1)
     if prev_table is None:
         prev_table = icp_prev_table(vmap_g_prev, nmap_g_prev)
-    ch = gather_packed(prev_table, flat)
-    vprev_g = jnp.stack(ch[0:3])
-    nprev_g = jnp.stack(ch[3:6])
-    prev_valid = (jnp.sum(vprev_g * vprev_g, axis=0) > 0) & (
-        jnp.sum(nprev_g * nprev_g, axis=0) > 1e-12
-    )
+    if isinstance(prev_table, tuple) and prev_table[0] == "fx16":
+        ch = gather_fx16(prev_table, flat)
+        vprev_g = jnp.stack(ch[0:3])
+        nprev_g = jnp.stack(ch[3:6])
+        # quantized zeros decode to +-scale/2 noise: validity thresholds sit
+        # above the noise floor (a real surfel normal is unit length)
+        prev_valid = jnp.sum(nprev_g * nprev_g, axis=0) > 1e-2
+    else:
+        ch = gather_packed(prev_table, flat)
+        vprev_g = jnp.stack(ch[0:3])
+        nprev_g = jnp.stack(ch[3:6])
+        prev_valid = (jnp.sum(vprev_g * vprev_g, axis=0) > 0) & (
+            jnp.sum(nprev_g * nprev_g, axis=0) > 1e-12
+        )
 
     n_g = Rc @ n                          # current normal in world
     dist = jnp.linalg.norm(vprev_g - v_g, axis=0)

@@ -120,7 +120,12 @@ def _point_raster(
     head = jnp.concatenate(
         [jnp.ones((1,), jnp.bool_), spix[1:] != spix[:-1]]
     ) & (spix < H * W)
-    dest = jax.lax.optimization_barrier(jnp.where(head, spix, H * W))
+    # dropped (non-head) rows get UNIQUE out-of-bounds destinations: the
+    # unique_indices promise must hold even for dropped indices — a shared
+    # H*W sentinel would be undefined behavior under the promise
+    drop_ids = H * W + jax.lax.broadcasted_iota(
+        jnp.int32, (spix.shape[0], 1), 0).squeeze(-1)
+    dest = jax.lax.optimization_barrier(jnp.where(head, spix, drop_ids))
     winner = (
         jnp.full((H * W,), INVALID_ID, jnp.int32)
         .at[dest]

@@ -24,6 +24,9 @@ from pathlib import Path
 
 # (name, run_slam args, dataset names)  — BASELINE.json configs 1-4
 REAL_CONFIGS = [
+    # config 1: open-loop frame-to-frame fast odometry (reference README's
+    # `-o -ftf -fo` odometry-benchmark mode)
+    ("config1_fr1_xyz", ["-ol", "-ftf", "-fo"], "fr1_xyz", False),
     ("config2_fr1_desk", ["-c", "0.5"], "fr1_desk", False),
     ("config2_fr2_xyz", ["-c", "0.5"], "fr2_xyz", False),
     ("config4_fr3_office", ["-rl"], "fr3_office", False),
@@ -34,11 +37,13 @@ REAL_CONFIGS = [
 ]
 
 SYNTH_CONFIGS = [
-    # (name, trajectory kind, frames, closeLoops, time_delta)
-    ("synth_sweep_openloop", "sweep", 120, False, 200),
-    ("synth_sweep_f2model", "sweep", 120, True, 200),
-    ("synth_there_back_localclosure", "there_back", 220, True, 80),
-    ("synth_orbit_globalclosure", "orbit", 260, True, 80),
+    # (name, trajectory kind, frames, closeLoops, time_delta, extra cfg)
+    ("synth_sweep_openloop_fast", "sweep", 120, False, 200,
+     dict(frame_to_frame_rgb=True, fast_odom=True)),   # BASELINE config 1
+    ("synth_sweep_openloop", "sweep", 120, False, 200, {}),
+    ("synth_sweep_f2model", "sweep", 120, True, 200, {}),
+    ("synth_there_back_localclosure", "there_back", 220, True, 80, {}),
+    ("synth_orbit_globalclosure", "orbit", 260, True, 80, {}),
 ]
 
 
@@ -86,20 +91,23 @@ def run_synth(out_rows: list, quick: bool) -> None:
                            cx=80.0, cy=60.0)
         scene = make_scene(n_side=700)
 
-    for name, kind, n, close, tdelta in SYNTH_CONFIGS:
+    for name, kind, n, close, tdelta, extra in SYNTH_CONFIGS:
         if quick:
             n = max(n // 4, 30)
         cfg = EngineConfig(
             camera=cam, max_surfels=1 << (21 if on_tpu else 17),
             confidence_threshold=0.3, closeLoops=close, time_delta=tdelta,
-            pipeline_depth=2,
+            pipeline_depth=2, **extra,
         )
         eng = Engine(cfg)
         Ts = synthetic_trajectory(kind, n)
+        # pre-render on the host: the fps column measures the ENGINE (the
+        # reference's stream decodes ahead of the pipeline too), not the
+        # synthetic renderer
+        rendered = [render_frame(scene[0], scene[1], T, cam) for T in Ts]
         gt = []
         t0 = time.perf_counter()
-        for i, T in enumerate(Ts):
-            d, r = render_frame(scene[0], scene[1], T, cam)
+        for i, (T, (d, r)) in enumerate(zip(Ts, rendered)):
             eng.process_frame(r, d, timestamp=int(i * 33333))
             gt.append((i * 0.033333, T))
         eng.flush()

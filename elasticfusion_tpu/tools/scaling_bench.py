@@ -92,15 +92,89 @@ def main(argv=None) -> int:
         jax.block_until_ready(out)
         results[n] = (time.perf_counter() - t0) / args.frames * 1e3
 
+    # --- the explicit shard_map formulation (parallel/shard_step.py) ---
+    from ..parallel.shard_step import make_shardmap_step, shard_empty_map
+
+    sm_results = {}
+    sm_collectives = {}
+    for n in sorted({1, args.n_devices}):
+        mesh = make_mesh(n)
+        step = make_shardmap_step(cfg, mesh)
+        cap_l = cfg.max_surfels // n
+        n0 = int(m0.count)
+
+        def boot():
+            ms = shard_empty_map(cfg.max_surfels, mesh)
+            upd = {}
+            for k in ("pos", "conf", "color", "init_t", "last_t",
+                      "normal", "radius"):
+                full = np.zeros(getattr(ms, k).shape, np.float32)
+                src = np.asarray(jax.device_get(getattr(m0, k)))
+                keep = min(n0, cap_l)
+                full[..., :keep] = src[..., :keep]
+                upd[k] = jax.device_put(
+                    jnp.asarray(full), getattr(ms, k).sharding)
+            counts = np.zeros((n,), np.int32)
+            counts[0] = min(n0, cap_l)
+            upd["count"] = jax.device_put(
+                jnp.asarray(counts), ms.count.sharding)
+            return ms._replace(**upd)
+
+        mk = lambda x: replicate(x, mesh)  # noqa: E731
+        sm_args = lambda mm, i: (  # noqa: E731
+            mm, mk(jnp.eye(4, dtype=jnp.float32)),
+            mk(jnp.zeros((h >> 2, w >> 2), jnp.float32)),
+            mk(jnp.zeros((3, h, w), jnp.float32)),
+            mk(jnp.zeros((3, h, w), jnp.float32)),
+            mk(jnp.zeros((h, w, 3), jnp.float32)),
+            mk(jnp.asarray(depth_mm)), mk(jnp.asarray(rgb)),
+            mk(jnp.float32(2.0 + i)), mk(jnp.float32(1.0)),
+        )
+        try:
+            txt = step.lower(*sm_args(boot(), 0)).compile().as_text()
+            colls = re.findall(
+                r"\b(all-reduce|all-gather|reduce-scatter|collective-permute"
+                r"|all-to-all)\b", txt)
+            from collections import Counter
+
+            sm_collectives[n] = dict(Counter(colls))
+        except Exception as e:  # noqa: BLE001
+            sm_collectives[n] = f"hlo unavailable: {e}"
+
+        mm = boot()
+        out = step(*sm_args(mm, 0))
+        jax.block_until_ready(out)
+        mm = boot()
+        t0 = time.perf_counter()
+        for i in range(args.frames):
+            out = step(*sm_args(mm, i))
+            mm = out[0]
+        jax.block_until_ready(out)
+        sm_results[n] = (time.perf_counter() - t0) / args.frames * 1e3
+
     n = args.n_devices
     speedup = results[1] / results[n] if n in results and 1 in results else None
+    sm_speedup = (
+        sm_results[1] / sm_results[n]
+        if n in sm_results and 1 in sm_results else None
+    )
     print(json.dumps({
         "backend": jax.default_backend(),
         "capacity": 1 << args.cap_log2,
-        "ms_per_step": {str(k): round(v, 2) for k, v in results.items()},
-        "speedup": None if speedup is None else round(speedup, 3),
-        "efficiency": None if speedup is None else round(speedup / n, 3),
-        "collectives": hlo_collectives,
+        "gspmd": {
+            "ms_per_step": {str(k): round(v, 2) for k, v in results.items()},
+            "speedup": None if speedup is None else round(speedup, 3),
+            "efficiency": None if speedup is None else round(speedup / n, 3),
+            "collectives": hlo_collectives,
+        },
+        "shard_map": {
+            "ms_per_step": {str(k): round(v, 2) for k, v in sm_results.items()},
+            "speedup": None if sm_speedup is None else round(sm_speedup, 3),
+            "efficiency": (
+                None if sm_speedup is None else round(sm_speedup / n, 3)
+            ),
+            "collectives": sm_collectives,
+        },
     }, indent=2))
     return 0
 

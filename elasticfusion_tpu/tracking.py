@@ -228,7 +228,8 @@ def get_incremental_transformation(
         # the last-frame table carries the cloud so one gather serves both
         # the correspondence search and the Jacobian point fetch
         prev_table = (
-            icp_prev_table(inputs.vmaps_prev_g[lvl], inputs.nmaps_prev_g[lvl])
+            icp_prev_table(inputs.vmaps_prev_g[lvl], inputs.nmaps_prev_g[lvl],
+                           fx16=True)
             if icp_on else None
         )
         last_table = (

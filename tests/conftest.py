@@ -40,6 +40,51 @@ jax.config.update(
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
+# Quarantine cache WRITES in a forked child: XLA:CPU executable
+# serialization (`executable.serialize()` inside put_executable_and_time)
+# has segfaulted the suite process intermittently on the engine's large
+# frame programs (observed faulthandler stacks end in
+# compilation_cache.put_executable_and_time).  A crash in the child loses
+# one cache entry; the parent (and the suite) continue.  Reads are
+# unaffected, so entries still accumulate across runs.
+import signal as _signal  # noqa: E402
+import time as _time  # noqa: E402
+
+from jax._src import compilation_cache as _cc  # noqa: E402
+
+_orig_put = _cc.put_executable_and_time
+
+
+def _quarantined_put(cache_key, module_name, executable, backend,
+                     compile_time):
+    try:
+        pid = os.fork()
+    except OSError:
+        return _orig_put(cache_key, module_name, executable, backend,
+                         compile_time)
+    if pid == 0:
+        try:
+            _orig_put(cache_key, module_name, executable, backend,
+                      compile_time)
+            os._exit(0)
+        except BaseException:
+            os._exit(1)
+    deadline = _time.monotonic() + 120.0
+    while _time.monotonic() < deadline:
+        done, _status = os.waitpid(pid, os.WNOHANG)
+        if done:
+            return
+        _time.sleep(0.05)
+    # child wedged (e.g. malloc lock across fork): reap it, skip the entry
+    try:
+        os.kill(pid, _signal.SIGKILL)
+        os.waitpid(pid, 0)
+    except OSError:
+        pass
+
+
+_cc.put_executable_and_time = _quarantined_put
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
