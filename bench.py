@@ -12,7 +12,20 @@ import time
 
 
 def main():
+    import os
+
+    import jax
     import numpy as np
+
+    # persistent compile cache: capacity-bucket growth recompiles the frame
+    # program per bucket; cache them across runs so only the first run on a
+    # machine pays the compiles
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     ".jax_cache_tpu"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from elasticfusion_tpu.config import CameraConfig, EngineConfig
     from elasticfusion_tpu.engine import Engine

@@ -83,12 +83,18 @@ def _init_map(depth_raw_m, depth_filt_m, rgb, cfg: EngineConfig,
 
 def _next_bucket(n: int, cap: int) -> int:
     """Capacity buckets: per-surfel ops cost O(array size), so the map lives
-    in the smallest power-of-two arrays that fit (SURVEY.md §7 'capacity
+    in the smallest bucketed arrays that fit (SURVEY.md §7 'capacity
     buckets'), growing toward cfg.max_surfels.  Each growth recompiles the
-    jitted steps once for the new shape."""
+    jitted steps once for the new shape (amortized by the persistent
+    compilation cache — see bench.py/run_slam).
+
+    Buckets step ~x1.25 (8192-aligned) rather than x2: with power-of-two
+    buckets the steady state ran per-surfel ops at up to 3x the live count
+    (measured: the whole 640x480 bench sat at cap 2^20 with ~350k live,
+    85 ms/frame vs 58 ms at 2^19 — capacity, not count, is the cost)."""
     b = 1 << 16
     while b < n:
-        b <<= 1
+        b = -(-(b + (b >> 2)) // 8192) * 8192
     return min(b, cap)
 
 
@@ -451,6 +457,33 @@ def _frame_main(
             cons_pv=pred.vertex[:, ::CONS_SAMPLE, ::CONS_SAMPLE],
             cons_ot=cons_ot,
         )
+
+    # everything `_finish` reads, as ONE f32 vector: each separate
+    # device->host read costs a tunnel RPC (~18 reads measured 76 ms/frame
+    # of drain; one packed 15 KB vector is a single transfer).  All values
+    # are integer-exact in f32 (counts < 2^24, 4-bit fern codes).
+    fin = [
+        T.reshape(-1),
+        res.icp_error[None], res.icp_count[None],
+        track_ok.astype(jnp.float32)[None],
+        stats.count.astype(jnp.float32)[None],
+    ]
+    if cfg.closeLoops:
+        fin += [
+            out["codes"].astype(jnp.float32),
+            jnp.asarray(out["good"], jnp.float32)[None],
+            out["m2m"].T_curr.reshape(-1),
+            out["m2m"].icp_error[None], out["m2m"].icp_count[None],
+            out["m2m"].A.reshape(-1),
+            out["inact_px"].astype(jnp.float32)[None],
+            out["cons_pv"].reshape(-1),
+            out["cons_ot"].reshape(-1),
+            out["add_min"][None], out["best_id"].astype(jnp.float32)[None],
+            out["best_d"][None], out["block_hd"][None],
+        ]
+    out["finish_vec"] = jnp.concatenate(
+        [jnp.asarray(x, jnp.float32) for x in fin]
+    )
     return out
 
 
@@ -960,9 +993,13 @@ class Engine:
         # for the in-flight frames; the next finish triggers growth and the
         # dropped measurements re-enter on the following frames.
         est = self._count_finished or self._count_est
-        if cap < cfg.max_surfels and est > 0.65 * cap:
+        if cap < cfg.max_surfels and est > 0.8 * cap:
+            # 1.35 > 1/0.8 so the new bucket sits below its own trigger;
+            # headroom above est absorbs the in-flight frames' appends
+            # (worst-case novel-view bursts beyond it are clamped in-bounds
+            # by fuse and re-measured after growth)
             self.map = _grow_map(
-                self.map, _next_bucket(2 * est, cfg.max_surfels)
+                self.map, _next_bucket(int(1.35 * est), cfg.max_surfels)
             )
 
     def _result(self) -> FrameResult:
@@ -979,17 +1016,9 @@ class Engine:
     # -- consumer side of the pipeline ----------------------------------------
 
     def _finish_reads(self, out):
-        """The small per-frame outputs `_finish` materializes on the host."""
-        res = out["res"]
-        reads = [out["T"], res.icp_error, res.icp_count, out["track_ok"],
-                 out["stats"].count]
-        if self.cfg.closeLoops:
-            m2m = out["m2m"]
-            reads += [out["codes"], out["good"], m2m.T_curr, m2m.icp_error,
-                      m2m.icp_count, m2m.A, out["inact_px"], out["cons_pv"],
-                      out["cons_ot"], out["add_min"], out["best_id"],
-                      out["best_d"], out["block_hd"]]
-        return reads
+        """The per-frame outputs `_finish` materializes on the host — ONE
+        packed f32 vector (see _frame_main's finish_vec)."""
+        return [out["finish_vec"]]
 
     @staticmethod
     def _prefetch(reads) -> None:
@@ -1010,9 +1039,11 @@ class Engine:
         fern DB ops, loop-closure decisions."""
         cfg = self.cfg
         out = rec["out"]
-        reads = self._finish_reads(out)
-        vals = jax.device_get(tuple(reads))
-        T_np, err, cnt, tok, count = vals[:5]
+        vec = np.asarray(jax.device_get(out["finish_vec"]), np.float64)
+        T_np = vec[0:16].reshape(4, 4)
+        err, cnt = vec[16], vec[17]
+        tok = vec[18] != 0.0
+        count = vec[19]
 
         T_host = self._fixed_pose(rec, np.asarray(T_np, np.float64))
         self.T_wc = T_host
@@ -1042,14 +1073,25 @@ class Engine:
             self.global_deformation.sample_graph_from(self.local_deformation)
 
         if cfg.closeLoops and self.ferns is not None:
-            (codes, good, m2m_T, m2m_err, m2m_cnt, m2m_A, inact_px,
-             cons_pv, cons_ot, add_min, best_id, best_d, block_hd) = vals[5:]
+            F = self.ferns.num
+            H, W = cfg.camera.height, cfg.camera.width
+            hs, ws = -(-H // CONS_SAMPLE), -(-W // CONS_SAMPLE)
+            o = 20
+            codes = vec[o:o + F].astype(np.int32); o += F
+            good = int(vec[o]); o += 1
+            m2m_T = vec[o:o + 16].reshape(4, 4); o += 16
+            m2m_err, m2m_cnt = vec[o], vec[o + 1]; o += 2
+            m2m_A = vec[o:o + 36].reshape(6, 6); o += 36
+            inact_px = int(vec[o]); o += 1
+            cons_pv = vec[o:o + 3 * hs * ws].reshape(3, hs, ws); o += 3 * hs * ws
+            cons_ot = vec[o:o + hs * ws].reshape(hs, ws); o += hs * ws
+            add_min, best_id, best_d, block_hd = vec[o:o + 4]
             self._close_loops(
                 rec, float(best_id), float(best_d), float(block_hd),
-                np.asarray(codes), int(good),
-                np.asarray(m2m_T, np.float64), float(m2m_err), float(m2m_cnt),
-                np.asarray(m2m_A, np.float64), int(inact_px),
-                np.asarray(cons_pv), np.asarray(cons_ot),
+                codes, good,
+                m2m_T, float(m2m_err), float(m2m_cnt),
+                m2m_A, inact_px,
+                cons_pv, cons_ot,
             )
             # Ferns::addFrame at end of frame (cpp:601-604), not while lost
             if not rec["lost_at_dispatch"] and not self.lost:

@@ -60,8 +60,11 @@ def _quarantined_put(cache_key, module_name, executable, backend,
     try:
         pid = os.fork()
     except OSError:
-        return _orig_put(cache_key, module_name, executable, backend,
-                         compile_time)
+        # fork can fail under memory pressure (multi-GB suite process).
+        # Do NOT fall back to a parent-side write: executable.serialize()
+        # is exactly the call that segfaults (jaxlib XLA:CPU AOT bug) and
+        # in the parent it takes the whole suite down.  Skip the entry.
+        return
     if pid == 0:
         try:
             _orig_put(cache_key, module_name, executable, backend,
