@@ -82,6 +82,11 @@ class EngineConfig:
     # 3-7 mm on cold single-solve accuracy tests).  Opt-in speed knob for
     # warm-start-only pipelines.
     gn_plateau_exit: float = 0.0
+    # quantize the ICP model gather tables to u16 fixed point (half the
+    # random-read bytes; <=0.1 mm position decode error — see
+    # ops/gatherpack.pack_fx16).  Off = exact f32 tables (the kernel-golden
+    # and quantization-delta tests compare the two).
+    fx16_tables: bool = True
 
     # --- depth preprocessing ---
     depth_factor: float = 1000.0         # uint16 mm → m

@@ -995,11 +995,17 @@ class Engine:
         est = self._count_finished or self._count_est
         if cap < cfg.max_surfels and est > 0.8 * cap:
             # 1.35 > 1/0.8 so the new bucket sits below its own trigger;
-            # headroom above est absorbs the in-flight frames' appends
-            # (worst-case novel-view bursts beyond it are clamped in-bounds
-            # by fuse and re-measured after growth)
+            # headroom above est absorbs the in-flight frames' appends —
+            # explicitly sized to (pipeline_depth+1) frame-maxima so the
+            # slack scales with in-flight work (worst-case novel-view bursts
+            # beyond it are clamped in-bounds by fuse and re-measured after
+            # growth)
+            inflight_max = (cfg.pipeline_depth + 1) * (
+                (cfg.camera.width * cfg.camera.height) // 4
+            )
             self.map = _grow_map(
-                self.map, _next_bucket(int(1.35 * est), cfg.max_surfels)
+                self.map,
+                _next_bucket(int(1.35 * est) + inflight_max, cfg.max_surfels),
             )
 
     def _result(self) -> FrameResult:

@@ -45,14 +45,19 @@ class Gram(NamedTuple):
 def _gram_outer(rows: jax.Array) -> jax.Array:
     """rows [K,N] -> rows @ rowsᵀ [K,K] without the hidden transpose.
 
-    A direct einsum("in,jn->ij") makes XLA materialize one operand as [N,K],
-    padding K lanes up to 128 — a ~18x HBM blowup that profiled at ~1 ms per
-    Gauss-Newton iteration (the two Gram ops were 80% of the tracking loop).
-    Chunking N into 128-lane blocks and batching tiny [K,128]x[128,K] dots
-    keeps both operands lane-major ([C,K,128] each) and runs at VPU/MXU
-    speed (~30 us): the reduction replaces the reference's warp-shuffle tree
-    (reduce.cu:57-140) at the same f32 accumulation order per block."""
+    On TPU this is the Pallas streaming kernel (ops/gram_pallas.py): one
+    [K,K] MXU dot per VMEM tile accumulated across a sequential grid —
+    bandwidth-bound (~50 us at N=307k).  The XLA fallback chunks N into
+    128-lane blocks and batches tiny [K,128]x[128,K] dots; both avoid the
+    einsum("in,jn->ij") form, which materializes one operand as [N,K] with
+    K padded to 128 lanes (~18x HBM blowup).  Either way this replaces the
+    reference's warp-shuffle tree reduction (reduce.cu:57-140) with f32
+    accumulation per block and no host round-trip."""
     K, N = rows.shape
+    if jax.default_backend() == "tpu" and N >= 1024:
+        from .gram_pallas import gram_outer_pallas
+
+        return gram_outer_pallas(rows)
     pad = (-N) % 128
     if pad:
         rows = jnp.pad(rows, ((0, 0), (0, pad)))

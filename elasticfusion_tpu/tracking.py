@@ -229,7 +229,7 @@ def get_incremental_transformation(
         # the correspondence search and the Jacobian point fetch
         prev_table = (
             icp_prev_table(inputs.vmaps_prev_g[lvl], inputs.nmaps_prev_g[lvl],
-                           fx16=True)
+                           fx16=cfg.fx16_tables)
             if icp_on else None
         )
         last_table = (

@@ -33,9 +33,36 @@ jax.config.update("jax_platforms", "cpu")
 # suite re-traces them for several EngineConfigs; on a small-CPU box the
 # compiles dominate wall time (and repeated in-process giant compiles have
 # produced flaky XLA:CPU segfaults).  Cache them on disk across runs.
+#
+# The cache dir is keyed by HOST CPU features + jaxlib version: XLA:CPU AOT
+# entries bake in machine feature sets, and entries written on a different
+# sandbox node load with cpu_aot_loader warnings ("+prefer-no-gather ... not
+# supported on the host machine ... could lead to SIGILL") and then crash the
+# suite at run time.  A foreign host simply misses and recompiles.
+import hashlib as _hashlib  # noqa: E402
+import platform as _platform  # noqa: E402
+
+import jaxlib  # noqa: E402
+
+
+def _host_cache_fingerprint() -> str:
+    feat = _platform.machine()
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    feat += " " + " ".join(sorted(line.split(":", 1)[1].split()))
+                    break
+    except OSError:
+        pass
+    feat += " " + getattr(jaxlib, "__version__", "?")
+    return _hashlib.md5(feat.encode()).hexdigest()[:12]
+
+
 jax.config.update(
     "jax_compilation_cache_dir",
-    os.path.join(os.path.dirname(__file__), os.pardir, ".jax_cache"),
+    os.path.join(os.path.dirname(__file__), os.pardir, ".jax_cache",
+                 _host_cache_fingerprint()),
 )
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
@@ -45,14 +72,17 @@ jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 # has segfaulted the suite process intermittently on the engine's large
 # frame programs (observed faulthandler stacks end in
 # compilation_cache.put_executable_and_time).  A crash in the child loses
-# one cache entry; the parent (and the suite) continue.  Reads are
-# unaffected, so entries still accumulate across runs.
+# one cache entry; the parent (and the suite) continue.  READS are
+# quarantined too (see _canaried_get below): deserialize has crashed the
+# suite on the same jaxlib XLA:CPU AOT bug, so a forked canary child
+# deserializes first and a crash there downgrades to a cache miss.
 import signal as _signal  # noqa: E402
 import time as _time  # noqa: E402
 
 from jax._src import compilation_cache as _cc  # noqa: E402
 
 _orig_put = _cc.put_executable_and_time
+_orig_get = _cc.get_executable_and_time
 
 
 def _quarantined_put(cache_key, module_name, executable, backend,
@@ -87,6 +117,44 @@ def _quarantined_put(cache_key, module_name, executable, backend,
 
 
 _cc.put_executable_and_time = _quarantined_put
+
+
+def _canaried_get(cache_key, compile_options, backend, executable_devices):
+    """Cache read with a forked deserialize canary: the child attempts the
+    full get (decompress + backend.deserialize_executable); only if it exits
+    cleanly does the parent run the real call.  A segfaulting entry costs a
+    recompile instead of the whole suite process."""
+    try:
+        pid = os.fork()
+    except OSError:
+        return None, None  # treat as miss under memory pressure
+    if pid == 0:
+        try:
+            exe, _t = _orig_get(cache_key, compile_options, backend,
+                                executable_devices)
+            os._exit(0 if exe is not None else 2)
+        except BaseException:
+            os._exit(1)
+    deadline = _time.monotonic() + 120.0
+    status = None
+    while _time.monotonic() < deadline:
+        done, status = os.waitpid(pid, os.WNOHANG)
+        if done:
+            break
+        _time.sleep(0.02)
+    else:
+        try:
+            os.kill(pid, _signal.SIGKILL)
+            os.waitpid(pid, 0)
+        except OSError:
+            pass
+        return None, None
+    if status is None or not os.WIFEXITED(status) or os.WEXITSTATUS(status) != 0:
+        return None, None  # child crashed or missed: recompile
+    return _orig_get(cache_key, compile_options, backend, executable_devices)
+
+
+_cc.get_executable_and_time = _canaried_get
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
