@@ -39,6 +39,10 @@ def main():
     cfg = EngineConfig(
         camera=cam, max_surfels=1 << 21, confidence_threshold=0.3,
         closeLoops=True, pipeline_depth=2,
+        # one capacity bucket for the whole run: the 36-frame sweep peaks
+        # ~360k live, 2^19 holds it — exactly ONE frame-program compile
+        # (cold-start fits the driver budget; no mid-bench growth stalls)
+        initial_surfels=1 << 19,
     )
     eng = Engine(cfg)
 

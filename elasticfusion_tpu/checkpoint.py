@@ -18,7 +18,9 @@ FORMAT_VERSION = 1
 def save_checkpoint(path: str | Path, engine) -> None:
     if hasattr(engine, "flush"):
         engine.flush()   # drain the frame pipeline so host state is current
-    m = engine.map
+    # sharded sub-maps serialize through the single-device layout; restore
+    # redistributes via Engine._shard_map when mesh_shape is set
+    m = engine.export_map() if hasattr(engine, "export_map") else engine.map
     data = {
         "version": FORMAT_VERSION,
         "tick": engine.tick,

@@ -84,9 +84,11 @@ class EngineConfig:
     gn_plateau_exit: float = 0.0
     # quantize the ICP model gather tables to u16 fixed point (half the
     # random-read bytes; <=0.1 mm position decode error — see
-    # ops/gatherpack.pack_fx16).  Off = exact f32 tables (the kernel-golden
-    # and quantization-delta tests compare the two).
-    fx16_tables: bool = True
+    # ops/gatherpack.pack_fx16).  Default OFF: the r5 device trace measured
+    # the 3-word fx16 gather SLOWER than the 6-lane f32 gather at 640x480
+    # (1.34 vs ~1.0 ms — row count, not bytes, dominates narrow gathers)
+    # and the decode adds VPU work to the serialized GN chain.
+    fx16_tables: bool = False
 
     # --- depth preprocessing ---
     depth_factor: float = 1000.0         # uint16 mm → m
@@ -98,6 +100,11 @@ class EngineConfig:
 
     # --- surfel map (GlobalModel) ---
     max_surfels: int = 1 << 22           # capacity (ref: 3072²≈9.4M, GlobalModel.cpp:22)
+    # starting capacity bucket (None = auto: first frame's pixel count plus
+    # slack, engine._next_bucket).  Pin it to the run's expected live count
+    # to compile the frame program exactly ONCE (no growth recompiles) —
+    # bench.py and cold-start-sensitive callers use this.
+    initial_surfels: Optional[int] = None
     confidence_threshold: float = 10.0   # -c flag
     time_delta: int = 200                # -t flag: active window, ticks
     unstable_age: int = 20               # copy_unstable.vert:120-123
@@ -107,6 +114,12 @@ class EngineConfig:
     # compaction sort runs only every Nth frame; in between, culled surfels
     # are marked dead in place (inert to every consumer — see ops/fuse.clean)
     compact_every: int = 4
+    # quantize clean's 45-channel window-patch gather table to u16 fixed
+    # point: the single biggest device op of the frame (r5 trace: 13.3 ms at
+    # 893k capacity), bytes-bound at ~24 GB/s, and its consumers are
+    # mm-threshold cull heuristics that tolerate the <=0.6 mm decode error
+    # (thresholds: dz 10 mm, dxy ~radius).  Off = exact f32 patch rows.
+    fx16_clean: bool = True
 
     # --- loop closure / relocalization ---
     icp_error_threshold: float = 4e-5    # -ie (code default, MainController.cpp:72)

@@ -113,6 +113,17 @@ def _grow_map(m: SurfelMap, capacity: int) -> SurfelMap:
     )
 
 
+def _sharded_ops(cfg: EngineConfig):
+    """Trace-time accessor for the explicit shard_map map-op set (None when
+    single-device).  Built per (cfg, mesh) — cheap, reconstructed per trace."""
+    if cfg.mesh_shape is None:
+        return None
+    from .parallel.shard_step import make_sharded_map_ops
+    from .parallel.sharding import engine_mesh
+
+    return make_sharded_map_ops(cfg, engine_mesh(cfg))
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def _predict(m: SurfelMap, T_wc, time, max_time, depth_filt_m, rgb, lost, cfg: EngineConfig):
     """predict() (ElasticFusion.cpp:621-653): ACTIVE combinedPredict + the
@@ -122,10 +133,14 @@ def _predict(m: SurfelMap, T_wc, time, max_time, depth_filt_m, rgb, lost, cfg: E
     normally, 0 right after a fern-teleport recovery (cpp:624-631) — time=0
     passes EVERY surfel through the active-window gate, rendering the whole
     map so the confirming frame can track against it."""
-    pred = combined_predict(
-        m, T_wc, cfg.camera, time, max_time, cfg.time_delta,
-        cfg.confidence_threshold, cfg.max_depth_processed,
-    )
+    sops = _sharded_ops(cfg)
+    if sops is not None:
+        pred = sops.combined_predict(m, T_wc, time, max_time)
+    else:
+        pred = combined_predict(
+            m, T_wc, cfg.camera, time, max_time, cfg.time_delta,
+            cfg.confidence_threshold, cfg.max_depth_processed,
+        )
     vtx, nrm, img = fill_all(
         pred, depth_filt_m, rgb, cfg.camera, cfg.max_depth_processed,
         lost, cfg.frame_to_frame_rgb,
@@ -213,7 +228,7 @@ def _fuse_and_clean(
     )
     m3 = clean(
         m2, pred2, T_wc, tick, cam, cfg.confidence_threshold, cfg.time_delta,
-        cfg.max_depth_processed, cfg.unstable_age,
+        cfg.max_depth_processed, cfg.unstable_age, fx16_patch=cfg.fx16_clean,
     )
     return m3, stats
 
@@ -252,7 +267,7 @@ def slam_step(
     )
     m = clean(
         m, pred_idx2, T, tick, cam, cfg.confidence_threshold, cfg.time_delta,
-        cfg.max_depth_processed, cfg.unstable_age,
+        cfg.max_depth_processed, cfg.unstable_age, fx16_patch=cfg.fx16_clean,
     )
 
     pred = combined_predict(
@@ -365,37 +380,55 @@ def _frame_main(
     else:
         track_ok = jnp.bool_(True)
 
-    def _with_fuse(mm):
-        pidx = predict_indices(
-            mm, T, cam, tick, cfg.time_delta, cfg.max_depth_processed
+    sops = _sharded_ops(cfg)
+    if sops is not None:
+        # explicit shard_map scaling path (parallel/shard_step.py): one
+        # region covers predictIndices -> fuse -> clean -> end-of-frame
+        # predict -> node sample -> INACTIVE predict, with pixel-domain
+        # merges as the only collectives
+        do_fuse = (track_ok & ~lost) & jnp.bool_(not cfg.rgb_only)
+        (m, stats, pred, old_pred, inact_px, node_pos,
+         node_t) = sops.frame_map_section(
+            m, T, tick, rgb, raw_m, filt_m, weighting,
+            do_fuse, jnp.bool_(cfg.closeLoops), do_compact,
         )
-        # the post-fuse prediction clean needs is derived in the pixel
-        # domain by fuse — no second full-capacity predictIndices sort
-        m2, stats, pidx2 = fuse(
-            mm, pidx, T, tick, rgb, raw_m, filt_m, cam,
-            cfg.max_depth_processed, weighting, return_updated_pred=True,
+        vtx, nrm, img = fill_all(
+            pred, filt_m, rgb, cam, cfg.max_depth_processed,
+            lost, cfg.frame_to_frame_rgb,
         )
-        m3 = clean(
-            m2, pidx2, T, tick, cam, cfg.confidence_threshold,
-            cfg.time_delta, cfg.max_depth_processed, cfg.unstable_age,
-            do_compact=do_compact,
-        )
-        return m3, stats
-
-    def _no_fuse(mm):
-        z = jnp.int32(0)
-        return mm, FuseStats(matched=z, added=z, count=mm.count)
-
-    if cfg.rgb_only:
-        m, stats = _no_fuse(m)
+        dense = jnp.mean((jnp.sum(pred.image, axis=-1) > 0).astype(jnp.float32))
     else:
-        m, stats = jax.lax.cond(track_ok & ~lost, _with_fuse, _no_fuse, m)
+        def _with_fuse(mm):
+            pidx = predict_indices(
+                mm, T, cam, tick, cfg.time_delta, cfg.max_depth_processed
+            )
+            # the post-fuse prediction clean needs is derived in the pixel
+            # domain by fuse — no second full-capacity predictIndices sort
+            m2, stats, pidx2 = fuse(
+                mm, pidx, T, tick, rgb, raw_m, filt_m, cam,
+                cfg.max_depth_processed, weighting, return_updated_pred=True,
+            )
+            m3 = clean(
+                m2, pidx2, T, tick, cam, cfg.confidence_threshold,
+                cfg.time_delta, cfg.max_depth_processed, cfg.unstable_age,
+                do_compact=do_compact,
+            )
+            return m3, stats
 
-    # end-of-frame predict (cpp:599) — next frame's tracking target and the
-    # fern/addFrame view source
-    pred, vtx, nrm, img, dense = _predict(
-        m, T, tick, max_time, filt_m, rgb, lost, cfg
-    )
+        def _no_fuse(mm):
+            z = jnp.int32(0)
+            return mm, FuseStats(matched=z, added=z, count=mm.count)
+
+        if cfg.rgb_only:
+            m, stats = _no_fuse(m)
+        else:
+            m, stats = jax.lax.cond(track_ok & ~lost, _with_fuse, _no_fuse, m)
+
+        # end-of-frame predict (cpp:599) — next frame's tracking target and
+        # the fern/addFrame view source
+        pred, vtx, nrm, img, dense = _predict(
+            m, T, tick, max_time, filt_m, rgb, lost, cfg
+        )
 
     out = dict(
         map=m, T=T, so3=so3_cur, res=res, track_ok=track_ok,
@@ -411,43 +444,63 @@ def _frame_main(
             codes, good, db_codes, db_good, db_time, db_count,
             tick, cfg.fern_min_age,
         )
-        node_pos, node_t = _sample_nodes(m, cfg.def_graph_sample_rate)
-
-        # local loop closure precompute (cpp:447-511): skip the INACTIVE
-        # splat + model-to-model solve entirely while no inactive surfel
-        # exists (the common case until the trajectory revisits old space)
-        slot = jax.lax.broadcasted_iota(jnp.int32, (m.capacity, 1), 0).squeeze(-1)
-        inact_exists = jnp.sum(
-            ((slot < m.count)
-             & (m.conf >= cfg.confidence_threshold)
-             & (m.last_t <= tick - cfg.time_delta)).astype(jnp.int32)
-        ) > 0
 
         H, W = cam.height, cam.width
         hs, ws = -(-H // CONS_SAMPLE), -(-W // CONS_SAMPLE)
 
-        def _m2m_run(_):
-            old_pred = combined_predict(
-                m, T, cam, jnp.float32(0.0), tick - cfg.time_delta,
-                cfg.time_delta, cfg.confidence_threshold,
-                cfg.max_depth_processed,
-            )
-            icount = jnp.sum((old_pred.depth > 0).astype(jnp.int32))
-            r2 = _model_to_model(
-                pred.vertex, pred.normal, pred.image,
-                old_pred.vertex, old_pred.normal, old_pred.image, T, cfg,
-            )
-            return r2, icount, old_pred.time[::CONS_SAMPLE, ::CONS_SAMPLE]
+        if sops is not None:
+            # INACTIVE prediction already merged by the region; the (heavy,
+            # fully replicated) model-to-model solve still skips via cond —
+            # its predicate and inputs are replicated, and it contains no
+            # collectives
+            def _m2m_run(_):
+                r2 = _model_to_model(
+                    pred.vertex, pred.normal, pred.image,
+                    old_pred.vertex, old_pred.normal, old_pred.image, T, cfg,
+                )
+                return r2, old_pred.time[::CONS_SAMPLE, ::CONS_SAMPLE]
 
-        def _m2m_skip(_):
-            return (
-                _empty_tracking_result(), jnp.int32(0),
-                jnp.zeros((hs, ws), jnp.float32),
-            )
+            def _m2m_skip(_):
+                return (_empty_tracking_result(),
+                        jnp.zeros((hs, ws), jnp.float32))
 
-        m2m, inact_px, cons_ot = jax.lax.cond(
-            inact_exists, _m2m_run, _m2m_skip, 0
-        )
+            m2m, cons_ot = jax.lax.cond(inact_px > 0, _m2m_run, _m2m_skip, 0)
+        else:
+            node_pos, node_t = _sample_nodes(m, cfg.def_graph_sample_rate)
+
+            # local loop closure precompute (cpp:447-511): skip the INACTIVE
+            # splat + model-to-model solve entirely while no inactive surfel
+            # exists (the common case until the trajectory revisits old space)
+            slot = jax.lax.broadcasted_iota(
+                jnp.int32, (m.capacity, 1), 0).squeeze(-1)
+            inact_exists = jnp.sum(
+                ((slot < m.count)
+                 & (m.conf >= cfg.confidence_threshold)
+                 & (m.last_t <= tick - cfg.time_delta)).astype(jnp.int32)
+            ) > 0
+
+            def _m2m_run(_):
+                old_pred = combined_predict(
+                    m, T, cam, jnp.float32(0.0), tick - cfg.time_delta,
+                    cfg.time_delta, cfg.confidence_threshold,
+                    cfg.max_depth_processed,
+                )
+                icount = jnp.sum((old_pred.depth > 0).astype(jnp.int32))
+                r2 = _model_to_model(
+                    pred.vertex, pred.normal, pred.image,
+                    old_pred.vertex, old_pred.normal, old_pred.image, T, cfg,
+                )
+                return r2, icount, old_pred.time[::CONS_SAMPLE, ::CONS_SAMPLE]
+
+            def _m2m_skip(_):
+                return (
+                    _empty_tracking_result(), jnp.int32(0),
+                    jnp.zeros((hs, ws), jnp.float32),
+                )
+
+            m2m, inact_px, cons_ot = jax.lax.cond(
+                inact_exists, _m2m_run, _m2m_skip, 0
+            )
         out.update(
             views=(img_s, vtx_s, nrm_s), codes=codes, good=good,
             add_min=add_min, best_id=best_id, best_d=best_d,
@@ -467,6 +520,9 @@ def _frame_main(
         res.icp_error[None], res.icp_count[None],
         track_ok.astype(jnp.float32)[None],
         stats.count.astype(jnp.float32)[None],
+        # max per-shard count (== count when single-device): the growth
+        # trigger under sub-map sharding watches the fullest shard
+        jnp.max(m.count).astype(jnp.float32)[None],
     ]
     if cfg.closeLoops:
         fin += [
@@ -586,6 +642,56 @@ def _apply_closure(
     )
 
 
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "fern_accepted"), donate_argnums=(0,)
+)
+def _apply_closure_sharded(
+    m: SurfelMap, graph, T_fix, closure_tick, T_carried,
+    tick_now, max_time, lost, depth_mm, rgb, fern_flat, fern_rgbd,
+    cfg: EngineConfig, fern_accepted: bool,
+):
+    """`_apply_closure` on the explicit shard_map path: the map section
+    (graph application + rigid fix + timestamp refresh + clean + re-predict
+    + node sample) runs per-shard with pixel-domain merges; fill-in and
+    fern encoding stay replicated outside the region."""
+    from .ferns import fern_encode_device
+
+    cam = cfg.camera
+    sops = _sharded_ops(cfg)
+    raw_m, filt_m = _preprocess(depth_mm, cfg)
+    T_new = (T_fix @ T_carried).astype(jnp.float32)
+    m2, pred, node_pos, node_t = sops.closure_map_section(
+        m, graph, T_fix.astype(jnp.float32), closure_tick, T_new, tick_now,
+        fern_accepted,
+    )
+    vtx, nrm, img = fill_all(
+        pred, filt_m, rgb, cam, cfg.max_depth_processed,
+        lost, cfg.frame_to_frame_rgb,
+    )
+    dense = jnp.mean((jnp.sum(pred.image, axis=-1) > 0).astype(jnp.float32))
+    img_s, vtx_s, nrm_s = _decimate_views(img, vtx, nrm, cfg.fern_pyramid_factor)
+    codes, good = fern_encode_device(img_s, vtx_s, fern_flat, fern_rgbd)
+    return dict(
+        map=m2, T=T_new, pred=pred, fill=(vtx, nrm, img), dense=dense,
+        views=(img_s, vtx_s, nrm_s), codes=codes, good=good,
+        node_pos=node_pos, node_t=node_t, count=jnp.sum(m2.count),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _fuse_and_clean_sharded(
+    m: SurfelMap, T_wc, tick, rgb, depth_raw_m, depth_filt_m, weighting,
+    cfg: EngineConfig,
+):
+    """Sharded `_fuse_and_clean` (the external-pose path)."""
+    sops = _sharded_ops(cfg)
+    m2, stats, _pred, *_ = sops.frame_map_section(
+        m, T_wc, tick, rgb, depth_raw_m, depth_filt_m, weighting,
+        jnp.bool_(True), jnp.bool_(False), True,
+    )
+    return m2, stats
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def _predict_only(
     m: SurfelMap, T_wc, tick, max_time, depth_filt_m, rgb, lost,
@@ -640,7 +746,10 @@ class FrameResult:
     def surfel_count(self) -> int:
         """Live surfel count — materializing it synchronizes the device, so
         it is lazy (the per-frame loop should not read it every frame)."""
-        return 0 if self.count_dev is None else int(self.count_dev)
+        if self.count_dev is None:
+            return 0
+        c = np.asarray(self.count_dev)
+        return int(c.sum()) if c.ndim else int(c)
 
 
 class Engine:
@@ -679,6 +788,7 @@ class Engine:
         self._last_frame_dev = None  # (depth_d, rgb_d) of latest dispatch
         self._count_est = 0         # host upper bound on map.count
         self._count_finished = 0    # exact count of the last finished frame
+        self._count_max_finished = 0  # max per-shard count (sharded growth)
         self._last_icp_error = 0.0
         self._last_icp_count = 0.0
         self._last_tracking_ok = True
@@ -723,7 +833,7 @@ class Engine:
     @property
     def surfel_count(self) -> int:
         self.flush()
-        return 0 if self.map is None else int(self.map.count)
+        return 0 if self.map is None else self._count_total(self.map.count)
 
     @property
     def poses(self) -> List[Tuple[int, np.ndarray]]:
@@ -748,11 +858,21 @@ class Engine:
         return jax.device_put(x, NamedSharding(self.mesh, P()))
 
     def _shard_map(self, m: SurfelMap) -> SurfelMap:
+        """Bring a map into the engine's device layout: single-device maps
+        are redistributed into the per-shard sub-map layout (round-robin,
+        count -> [S] vector) for the explicit shard_map path; already-sharded
+        maps pass through."""
         if self.mesh is None:
             return m
-        from .parallel.sharding import shard_surfel_map
+        if getattr(m.count, "ndim", 0) == 1:
+            return m  # already in sub-map layout
+        from .parallel.shard_step import distribute_map
 
-        return shard_surfel_map(m, self.mesh)
+        return distribute_map(m, self.mesh)
+
+    def _count_total(self, count) -> int:
+        c = np.asarray(jax.device_get(count))
+        return int(c.sum()) if c.ndim else int(c)
 
     def _fern_tables(self):
         if self.ferns is not None:
@@ -881,8 +1001,22 @@ class Engine:
         n_px = cfg.camera.width * cfg.camera.height
         # initial bucket: first frame fills at most n_px slots and every
         # per-surfel op costs O(capacity) — start tight, grow on demand
-        cap0 = _next_bucket(n_px + n_px // 4, cfg.max_surfels)
-        self.map = self._shard_map(_init_map(raw_m, filt_m, rgb_d, cfg, cap0))
+        # (or start at the caller-pinned bucket: one compile, no growth)
+        cap0 = _next_bucket(
+            max(n_px + n_px // 4, cfg.initial_surfels or 0), cfg.max_surfels
+        )
+        if self.mesh is not None:
+            import math
+
+            S = math.prod(cfg.mesh_shape)
+            cap0 = -(-cap0 // S) * S  # sub-map layout: capacity % S == 0
+        m_single = _init_map(raw_m, filt_m, rgb_d, cfg, cap0)
+        # sample the deformation nodes from the single-device layout (its
+        # slot order is time order); the sharded layout interleaves shards
+        if self.local_deformation is not None:
+            node_sample = _sample_nodes(m_single, cfg.def_graph_sample_rate)
+            node_count = m_single.count
+        self.map = self._shard_map(m_single)
         self._count_est = n_px
         self._so3_hist = _coarse_intensity(rgb_d, cfg)  # initFirstRGB
         if in_T_wc is not None:
@@ -901,10 +1035,7 @@ class Engine:
         self.tick_poses.append((1, self.T_wc.copy()))
         self.pose_times.append(int(timestamp))
         if self.local_deformation is not None:
-            self.local_deformation.set_sampled(
-                *_sample_nodes(self.map, cfg.def_graph_sample_rate),
-                self.map.count,
-            )
+            self.local_deformation.set_sampled(*node_sample, node_count)
             self.global_deformation.sample_graph_from(self.local_deformation)
         self.tick = 2
 
@@ -929,9 +1060,16 @@ class Engine:
         )
 
         tick_dev = self._rep(jnp.float32(self.tick))
-        self.map, stats = _fuse_and_clean(
-            self.map, self._T_dev, tick_dev, rgb_d, raw_m, filt_m, weighting, cfg
-        )
+        if self.mesh is not None:
+            self.map, stats = _fuse_and_clean_sharded(
+                self.map, self._T_dev, tick_dev, rgb_d, raw_m, filt_m,
+                weighting, cfg,
+            )
+        else:
+            self.map, stats = _fuse_and_clean(
+                self.map, self._T_dev, tick_dev, rgb_d, raw_m, filt_m,
+                weighting, cfg,
+            )
         (self._pred, self._fill, self._dense_dev, self._views) = _predict_only(
             self.map, self._T_dev, tick_dev, tick_dev, filt_m, rgb_d,
             self._rep(jnp.bool_(False)), cfg,
@@ -992,20 +1130,43 @@ class Engine:
         # Worst case a full-novel-view burst saturates fuse's append clamp
         # for the in-flight frames; the next finish triggers growth and the
         # dropped measurements re-enter on the following frames.
-        est = self._count_finished or self._count_est
+        # estimate of the ACTUAL live count: before the first finish,
+        # _count_est carries (H*W/4) of padding per in-flight frame — growing
+        # on the padded value over-grew two buckets during warmup (measured:
+        # 565k -> 893k capacity at ~307k live; per-surfel ops are O(capacity),
+        # the whole bench paid ~1.6x for nothing)
+        hw4 = (cfg.camera.width * cfg.camera.height) // 4
+        inflight_pad = len(self._inflight) * hw4
+        est = self._count_finished or max(self._count_est - inflight_pad, 0)
+        if self.mesh is not None:
+            # sub-map layout: the trigger watches the FULLEST shard (each
+            # shard overflows individually); grow keeps capacity a multiple
+            # of S and pads every shard in a shard-local region
+            import math
+
+            S = math.prod(self.cfg.mesh_shape)
+            cap_l = cap // S
+            est_max = self._count_max_finished or (est // S)
+            if cap < cfg.max_surfels and est_max > 0.8 * cap_l:
+                target = _next_bucket(
+                    int(1.35 * est_max) * S + hw4, cfg.max_surfels
+                )
+                target = -(-target // S) * S
+                from .parallel.shard_step import make_sharded_map_ops
+
+                sops = make_sharded_map_ops(cfg, self.mesh)
+                self.map = sops.grow(self.map, target)
+            return
         if cap < cfg.max_surfels and est > 0.8 * cap:
-            # 1.35 > 1/0.8 so the new bucket sits below its own trigger;
-            # headroom above est absorbs the in-flight frames' appends —
-            # explicitly sized to (pipeline_depth+1) frame-maxima so the
-            # slack scales with in-flight work (worst-case novel-view bursts
-            # beyond it are clamped in-bounds by fuse and re-measured after
-            # growth)
-            inflight_max = (cfg.pipeline_depth + 1) * (
-                (cfg.camera.width * cfg.camera.height) // 4
-            )
+            # 1.35 > 1/0.8 so the new bucket sits below its own trigger; one
+            # frame-maximum of explicit headroom absorbs the common in-flight
+            # case — bursts beyond it are clamped in-bounds by fuse and the
+            # dropped measurements re-enter after growth.  (Deliberately NOT
+            # (pipeline_depth+1) maxima: capacity is the per-surfel-op cost,
+            # so over-provisioning costs every frame; the clamp is safe.)
             self.map = _grow_map(
                 self.map,
-                _next_bucket(int(1.35 * est) + inflight_max, cfg.max_surfels),
+                _next_bucket(int(1.35 * est) + hw4, cfg.max_surfels),
             )
 
     def _result(self) -> FrameResult:
@@ -1050,12 +1211,14 @@ class Engine:
         err, cnt = vec[16], vec[17]
         tok = vec[18] != 0.0
         count = vec[19]
+        max_shard_count = vec[20]
 
         T_host = self._fixed_pose(rec, np.asarray(T_np, np.float64))
         self.T_wc = T_host
         self._last_icp_error = float(err)
         self._last_icp_count = float(cnt)
         self._count_finished = int(count)
+        self._count_max_finished = int(max_shard_count)
         self._count_est = int(count) + len(self._inflight) * (
             (cfg.camera.width * cfg.camera.height) // 4
         )
@@ -1082,7 +1245,7 @@ class Engine:
             F = self.ferns.num
             H, W = cfg.camera.height, cfg.camera.width
             hs, ws = -(-H // CONS_SAMPLE), -(-W // CONS_SAMPLE)
-            o = 20
+            o = 21
             codes = vec[o:o + F].astype(np.int32); o += F
             good = int(vec[o]); o += 1
             m2m_T = vec[o:o + 16].reshape(4, 4); o += 16
@@ -1166,7 +1329,7 @@ class Engine:
                 self._teleport(rec, T_rec)
                 return
             gd = self.global_deformation
-            fern_time = self.ferns.frames[self.ferns.last_closest].src_time
+            fern_time = self.ferns.closest_src_time()
             for c in constraints:
                 gd.add_constraint(
                     c.source_point, c.target_point, rec["tick"], fern_time,
@@ -1259,7 +1422,10 @@ class Engine:
         max_time = tick_now
         ff, fr = self._fern_tables()
         graph = jax.tree.map(self._rep, graph)
-        out = _apply_closure(
+        closure_fn = (
+            _apply_closure_sharded if self.mesh is not None else _apply_closure
+        )
+        out = closure_fn(
             self.map, graph,
             self._rep(jnp.asarray(T_fix, jnp.float32)),
             self._rep(jnp.float32(rec["tick"])),
@@ -1298,11 +1464,20 @@ class Engine:
         self.flush()
         write_freiburg(path, self.poses, iclnuim=iclnuim)
 
+    def export_map(self) -> Optional[SurfelMap]:
+        """The map as ONE single-device-layout SurfelMap (scalar count):
+        sharded sub-maps are gathered shard-by-shard (exports, checkpoints)."""
+        self.flush()
+        if self.map is None or getattr(self.map.count, "ndim", 0) == 0:
+            return self.map
+        from .parallel.shard_step import gather_shard_map
+
+        return gather_shard_map(self.map, self.mesh)
+
     def save_ply(self, path) -> int:
         from .io.ply import save_ply
 
-        self.flush()
-        return save_ply(path, self.map, self.cfg.confidence_threshold)
+        return save_ply(path, self.export_map(), self.cfg.confidence_threshold)
 
 
 def _np_se3_log_norm(T: np.ndarray) -> float:

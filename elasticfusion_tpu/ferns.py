@@ -346,6 +346,12 @@ class Ferns:
             )
         return False
 
+    def closest_src_time(self) -> int:
+        """src_time of the last accepted retrieval winner (callers must
+        check `last_closest != -1` first).  Indirection so the multi-host
+        `PartitionedFerns` can answer for winners owned by another host."""
+        return self.frames[self.last_closest].src_time
+
     def find_frame_scored(self, best_id: int, best_d: float, block_hd: float,
                           codes, good, views, T_wc: np.ndarray, time: int,
                           lost: bool):

@@ -437,6 +437,7 @@ def clean(
     deformed_normal: Optional[jax.Array] = None,
     fern_accepted: bool = False,
     do_compact: bool = True,
+    fx16_patch: bool = False,
 ) -> SurfelMap:
     """GlobalModel::clean (GlobalModel.cpp:527-671, copy_unstable.vert).
 
@@ -503,13 +504,25 @@ def clean(
     flat = jnp.where(
         in_view, jnp.clip(py, 0, H - 1) * W + jnp.clip(px, 0, W - 1), 0
     )
-    got = packed_gather(tuple(patch), flat)
+    if fx16_patch:
+        # u16 fixed-point rows: half the bytes of the frame's single biggest
+        # gather (45 f32 lanes x capacity rows).  Decode error <=0.6 mm on
+        # the position channels — an order below the 10 mm dz / radius-scale
+        # dxy cull thresholds.  The flag channel quantizes {0..3} exactly
+        # enough for its >=1 / >=3 tests (error ~2e-5).
+        from .gatherpack import gather_fx16, pack_fx16
+
+        got = gather_fx16(pack_fx16(tuple(patch)), flat)
+    else:
+        got = packed_gather(tuple(patch), flat)
     for oi, (wy, wx) in enumerate(
         (wy, wx) for wy in _W3 for wx in _W3
     ):
         w = wx * wy
         c_flag, c_z, c_x, c_y, c_it = got[5 * oi:5 * oi + 5]
-        has = (c_flag >= 1.0) & in_view
+        # mid-point thresholds (0.5/2.5, not 1.0/3.0): flag values are the
+        # integers {0,1,2,3} but the fx16 decode can land 1 ulp below
+        has = (c_flag >= 0.5) & in_view
         behind_me = c_z > lp[2]
         dz = c_z - lp[2]
         dxy = jnp.sqrt((c_x - lp[0]) ** 2 + (c_y - lp[1]) ** 2)
@@ -521,7 +534,7 @@ def clean(
         )
         # free-space violation (copy_unstable.vert:98-106)
         zcount += jnp.where(
-            has & (c_flag >= 3.0) & behind_me & (dz > 0.01)
+            has & (c_flag >= 2.5) & behind_me & (dz > 0.01)
             & (jnp.abs(ln[2]) > 0.85),
             w, 0.0,
         )

@@ -97,8 +97,8 @@ def icp_prev_table(vmap_g_prev: jax.Array, nmap_g_prev: jax.Array,
 
     fx16 packs two u16 fixed-point channels per lane — half the random-read
     bytes of the f32 table for the bandwidth-bound per-iteration gather
-    (<=0.1 mm position quantization at typical scene ranges; the tracking
-    loop opts in, kernel-golden tests keep exact f32)."""
+    (<=0.1 mm position quantization at typical scene ranges; kernel-golden
+    tests keep exact f32)."""
     ch = (vmap_g_prev[0], vmap_g_prev[1], vmap_g_prev[2],
           nmap_g_prev[0], nmap_g_prev[1], nmap_g_prev[2])
     return pack_fx16(ch) if fx16 else pack_channels(ch)
@@ -108,7 +108,8 @@ def rgb_last_table(last_depth: jax.Array, last_image: jax.Array,
                    cloud: Optional[jax.Array] = None):
     """Pack the (loop-invariant) last depth+intensity (+ back-projected last
     cloud when given) for compute_rgb_residual — one row-gather serves both
-    the correspondence search and rgb_step's point fetch."""
+    the correspondence
+    search and rgb_step's point fetch."""
     if cloud is None:
         return pack_channels((last_depth, last_image))
     return pack_channels((last_depth, last_image, cloud[0], cloud[1], cloud[2]))
@@ -307,11 +308,13 @@ def rgb_step(
     fx: float, fy: float,
     dIdx: jax.Array, dIdy: jax.Array,
     cloud_table=None,      # rgb_cloud_table(cloud)
+    cx: Optional[float] = None, cy: Optional[float] = None,
 ) -> Gram:
     """Photometric Jacobian rows, mirroring RGBReduction::getProducts
     (reduce.cu:420-478): gradients read at the *next*-image pixel, the 3D
     point read from the back-projected *last* depth at the matched pixel,
-    Huber-like weight w = 1/(σ+|diff|)."""
+    Huber-like weight w = 1/(σ+|diff|).  (cx, cy) are accepted for
+    interface stability; the point comes from the packed cloud channels."""
     C, H, W = cloud.shape
     N = H * W
 

@@ -95,10 +95,27 @@ class PartitionedFerns:
         object.__setattr__(self, "ferns", ferns)
         object.__setattr__(self, "n_hosts", n_hosts)
         object.__setattr__(self, "host_id", host_id)
+        object.__setattr__(self, "_merged_accept", False)
+        object.__setattr__(self, "_merged_src_time", -1)
 
     def __getattr__(self, name):
         # everything not intercepted delegates to the wrapped Ferns
         return getattr(self.ferns, name)
+
+    @property
+    def last_closest(self) -> int:
+        """-1 = no accepted closure this frame (the only engine-side test);
+        a non-negative value means the MERGED global winner accepted — it is
+        NOT a local frame index (the winning keyframe may live on another
+        host; use `closest_src_time()` for its identity)."""
+        if self.n_hosts == 1:
+            return self.ferns.last_closest
+        return 0 if self._merged_accept else -1
+
+    def closest_src_time(self) -> int:
+        if self.n_hosts == 1:
+            return self.ferns.closest_src_time()
+        return self._merged_src_time
 
     def _owns(self, src_time: int) -> bool:
         return int(src_time) % self.n_hosts == self.host_id
@@ -121,5 +138,76 @@ class PartitionedFerns:
     def find_frame_codes(self, *a, **kw):
         return self.ferns.find_frame_codes(*a, **kw)
 
-    def find_frame_scored(self, *a, **kw):
-        return self.ferns.find_frame_scored(*a, **kw)
+    def find_frame_scored(self, best_id, best_d, block_hd, codes, good,
+                          views, T_wc, time, lost):
+        """Global retrieval: each host scored its DB shard on-device; the
+        winner is resolved by a host all-gather of (dissimilarity, src_time,
+        blockHD) triples, the winner's OWNER runs the accept branch (fern
+        ICP + photometric check need the keyframe images, which only the
+        owner holds), and the accept flag + recovery pose broadcast back.
+        Every host then emits identical constraints from the shared current
+        views + merged pose, so closure decisions are bit-identical across
+        ranks (reference: one DB, one winner — Ferns.cpp:162-298)."""
+        f = self.ferns
+        if self.n_hosts == 1:
+            return f.find_frame_scored(
+                best_id, best_d, block_hd, codes, good, views, T_wc, time,
+                lost,
+            )
+        from jax.experimental import multihost_utils as mhu
+
+        object.__setattr__(self, "_merged_accept", False)
+        object.__setattr__(self, "_merged_src_time", -1)
+        f.last_closest = -1
+
+        valid = (
+            bool(f.frames) and good != 0 and np.isfinite(best_d)
+            and 0 <= int(best_id) < len(f.frames)
+        )
+        local_time = f.frames[int(best_id)].src_time if valid else -1
+        payload = np.array(
+            [best_d if valid else np.inf, float(local_time),
+             float(block_hd) if valid else 0.0],
+            np.float64,
+        )
+        allp = np.asarray(mhu.process_allgather(payload))     # [n_hosts, 3]
+        order = np.lexsort((allp[:, 1], allp[:, 0]))          # d, then time
+        k = int(order[0])
+        win_d, win_time, win_hd = allp[k]
+
+        if not np.isfinite(win_d) or win_hd <= 0.3:
+            # every host derives the same reject from the same allp
+            return None, []
+
+        owner = int(win_time) % self.n_hosts
+        res = np.zeros((18,), np.float64)
+        if owner == self.host_id:
+            local_id = next(
+                (i for i, fr in enumerate(f.frames)
+                 if fr.src_time == int(win_time)), -1,
+            )
+            if local_id >= 0:
+                T_est, _cons = f.find_frame_scored(
+                    local_id, win_d, win_hd, codes, good, views, T_wc,
+                    time, lost,
+                )
+                if f.last_closest != -1:
+                    res[0] = 1.0
+                    res[1:17] = np.asarray(T_est, np.float64).reshape(-1)
+                    res[17] = win_time
+        merged = np.asarray(mhu.process_allgather(res))[owner]
+        if merged[0] == 0.0:
+            f.last_closest = -1
+            return None, []
+
+        T_est = merged[1:17].reshape(4, 4)
+        object.__setattr__(self, "_merged_accept", True)
+        object.__setattr__(self, "_merged_src_time", int(merged[17]))
+        # identical constraints on every rank: deterministic function of the
+        # (replicated) current views + the merged estimated pose
+        from ..ferns import _to_small
+
+        rgb_s, vert_s, norm_s = _to_small(
+            views[0], views[1], views[2], f.height, f.width, f.factor
+        )
+        return T_est, f._emit_constraints(vert_s, T_wc, T_est)

@@ -124,7 +124,10 @@ def main(argv=None) -> int:
 
     eng = Engine(cfg)
     # partition the fern DB per host (SURVEY §5.8): each process keeps only
-    # the keyframes it owns; retrieval scores the local shard
+    # the keyframes it owns; retrieval scores the local shard on-device and
+    # resolves ONE global winner via the host all-gather merge
+    # (PartitionedFerns.find_frame_scored), so closure decisions are
+    # identical on every rank
     import jax
 
     if eng.ferns is not None and jax.process_count() > 1:

@@ -225,8 +225,9 @@ def get_incremental_transformation(
         min_grad2 = (cfg.rgb_grad_thresholds[lvl]) / (SOBEL_SCALE * SOBEL_SCALE)
 
         # loop-invariant packed gather tables (hoisted out of the GN body);
-        # the last-frame table carries the cloud so one gather serves both
-        # the correspondence search and the Jacobian point fetch
+        # narrow gathers are ROW-count-bound on this chip (r5 measurement:
+        # a 4-channel z-ray table and a 2-channel rgb table were neutral to
+        # slightly negative vs these), so the tables keep their full widths
         prev_table = (
             icp_prev_table(inputs.vmaps_prev_g[lvl], inputs.nmaps_prev_g[lvl],
                            fx16=cfg.fx16_tables)
@@ -317,7 +318,7 @@ def get_incremental_transformation(
 
             if rgb_on:
                 gr = rgb_step(corres, sigma_val, cloud, c.fx, c.fy, dIdx, dIdy,
-                              cloud_table=cloud_table)
+                              cloud_table=cloud_table, cx=c.cx, cy=c.cy)
             else:
                 gr = Gram(zero66, zero6, jnp.float32(0.0), jnp.float32(0.0))
 
