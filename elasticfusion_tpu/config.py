@@ -56,8 +56,13 @@ class EngineConfig:
     # --- tracking (RGBDOdometry) ---
     num_pyramid_levels: int = 3          # NUM_PYRS, RGBDOdometry.h:114
     so3_iterations: int = 10             # RGBDOdometry.cpp:305
-    gn_iterations: Tuple[int, int, int] = (10, 5, 4)   # coarse→fine, cpp:371
-    fast_odom_iterations: Tuple[int, int, int] = (3, 0, 0)
+    gn_iterations: Tuple[int, int, int] = (10, 5, 4)   # fine→coarse, cpp:371
+    # fastOdom only drops the FINE level 10 -> 3; the coarse levels keep
+    # their 5/4 budgets (RGBDOdometry.cpp:371-373: iterations[0] = fastOdom
+    # ? 3 : 10, [1]/[2] gated by `pyramid` alone).  The r1-r4 value (3,0,0)
+    # skipped coarse alignment entirely — measured 16x ATE collapse on the
+    # open-loop fast battery (r4 VERDICT Weak #3's unexplained 0.1278 m).
+    fast_odom_iterations: Tuple[int, int, int] = (3, 5, 4)
     icp_weight: float = 10.0             # -i flag, MainController.cpp:74
     rgb_only: bool = False
     pyramid: bool = True

@@ -156,6 +156,61 @@ def _canaried_get(cache_key, compile_options, backend, executable_devices):
 
 _cc.get_executable_and_time = _canaried_get
 
+# Quarantine the COMPILE itself: the flakiest crash site of this jaxlib on
+# XLA:CPU is inside backend_compile_and_load (observed segfaulting the whole
+# suite on large engine modules, most recently via test_fuse_pallas).  The
+# child compiles AND writes the cache entry, then the parent loads the entry
+# through the canaried read path — a compiler segfault costs one retry
+# instead of the suite process.  Parent falls back to an in-process compile
+# when the child crashes twice or the entry wasn't cacheable (<1 s compiles).
+from jax._src import compiler as _compiler  # noqa: E402
+
+_orig_cawc = _compiler._compile_and_write_cache
+
+
+def _quarantined_compile(backend, computation, executable_devices,
+                         compile_options, host_callbacks, module_name,
+                         cache_key):
+    for _attempt in range(2):
+        try:
+            pid = os.fork()
+        except OSError:
+            break
+        if pid == 0:
+            try:
+                _orig_cawc(backend, computation, executable_devices,
+                           compile_options, host_callbacks, module_name,
+                           cache_key)
+                os._exit(0)
+            except BaseException:
+                os._exit(1)
+        deadline = _time.monotonic() + 1500.0
+        status = None
+        while _time.monotonic() < deadline:
+            done, status = os.waitpid(pid, os.WNOHANG)
+            if done:
+                break
+            _time.sleep(0.05)
+        else:
+            try:
+                os.kill(pid, _signal.SIGKILL)
+                os.waitpid(pid, 0)
+            except OSError:
+                pass
+            break  # wedged child: go in-process
+        if os.WIFEXITED(status) and os.WEXITSTATUS(status) == 0:
+            exe, _t = _cc.get_executable_and_time(
+                cache_key, compile_options, backend, executable_devices
+            )
+            if exe is not None:
+                return exe
+            break  # compiled fine but uncacheable: recompile in-process
+    return _orig_cawc(backend, computation, executable_devices,
+                      compile_options, host_callbacks, module_name, cache_key)
+
+
+_compiler._compile_and_write_cache = _quarantined_compile
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

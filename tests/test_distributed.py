@@ -233,7 +233,9 @@ def test_two_process_engine_e2e(tmp_path):
     outs = []
     for rank, p in enumerate(procs):
         try:
-            out, _ = p.communicate(timeout=900)
+            # generous: both ranks cold-compile the whole engine on a 2-core
+            # box, and the suite may run under further compile contention
+            out, _ = p.communicate(timeout=2400)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
