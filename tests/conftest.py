@@ -85,6 +85,42 @@ _orig_put = _cc.put_executable_and_time
 _orig_get = _cc.get_executable_and_time
 
 
+def _child_cpu_ticks(pid: int):
+    try:
+        with open(f"/proc/{pid}/stat") as f:
+            parts = f.read().rsplit(")", 1)[1].split()
+        return int(parts[11]) + int(parts[12])  # utime + stime
+    except (OSError, IndexError, ValueError):
+        return None
+
+
+def _watch_child(pid: int, idle_timeout: float, hard_timeout: float):
+    """Reap a forked worker.  Returns its wait status, or None if it was
+    killed.  A fork can inherit a held lock and wedge at 0% CPU (observed:
+    an 18-minute dead compile child) — so the watchdog kills on NO CPU
+    PROGRESS for `idle_timeout`, while real work may run to `hard_timeout`."""
+    start = _time.monotonic()
+    last_ticks = -1
+    last_progress = start
+    while True:
+        done, status = os.waitpid(pid, os.WNOHANG)
+        if done:
+            return status
+        now = _time.monotonic()
+        ticks = _child_cpu_ticks(pid)
+        if ticks is not None and ticks != last_ticks:
+            last_ticks = ticks
+            last_progress = now
+        if now - last_progress > idle_timeout or now - start > hard_timeout:
+            try:
+                os.kill(pid, _signal.SIGKILL)
+                os.waitpid(pid, 0)
+            except OSError:
+                pass
+            return None
+        _time.sleep(0.05)
+
+
 def _quarantined_put(cache_key, module_name, executable, backend,
                      compile_time):
     try:
@@ -102,18 +138,8 @@ def _quarantined_put(cache_key, module_name, executable, backend,
             os._exit(0)
         except BaseException:
             os._exit(1)
-    deadline = _time.monotonic() + 120.0
-    while _time.monotonic() < deadline:
-        done, _status = os.waitpid(pid, os.WNOHANG)
-        if done:
-            return
-        _time.sleep(0.05)
-    # child wedged (e.g. malloc lock across fork): reap it, skip the entry
-    try:
-        os.kill(pid, _signal.SIGKILL)
-        os.waitpid(pid, 0)
-    except OSError:
-        pass
+    # wedged child (lock inherited across fork): reap fast, skip the entry
+    _watch_child(pid, idle_timeout=15.0, hard_timeout=300.0)
 
 
 _cc.put_executable_and_time = _quarantined_put
@@ -135,22 +161,9 @@ def _canaried_get(cache_key, compile_options, backend, executable_devices):
             os._exit(0 if exe is not None else 2)
         except BaseException:
             os._exit(1)
-    deadline = _time.monotonic() + 120.0
-    status = None
-    while _time.monotonic() < deadline:
-        done, status = os.waitpid(pid, os.WNOHANG)
-        if done:
-            break
-        _time.sleep(0.02)
-    else:
-        try:
-            os.kill(pid, _signal.SIGKILL)
-            os.waitpid(pid, 0)
-        except OSError:
-            pass
-        return None, None
+    status = _watch_child(pid, idle_timeout=15.0, hard_timeout=300.0)
     if status is None or not os.WIFEXITED(status) or os.WEXITSTATUS(status) != 0:
-        return None, None  # child crashed or missed: recompile
+        return None, None  # child crashed/wedged or missed: recompile
     return _orig_get(cache_key, compile_options, backend, executable_devices)
 
 
@@ -184,20 +197,11 @@ def _quarantined_compile(backend, computation, executable_devices,
                 os._exit(0)
             except BaseException:
                 os._exit(1)
-        deadline = _time.monotonic() + 1500.0
-        status = None
-        while _time.monotonic() < deadline:
-            done, status = os.waitpid(pid, os.WNOHANG)
-            if done:
-                break
-            _time.sleep(0.05)
-        else:
-            try:
-                os.kill(pid, _signal.SIGKILL)
-                os.waitpid(pid, 0)
-            except OSError:
-                pass
-            break  # wedged child: go in-process
+        # a real compile burns CPU continuously; a fork-wedged child sits at
+        # 0% — kill on 10 s of no progress instead of waiting out a deadline
+        status = _watch_child(pid, idle_timeout=10.0, hard_timeout=2400.0)
+        if status is None:
+            continue  # wedged: retry the fork once, then go in-process
         if os.WIFEXITED(status) and os.WEXITSTATUS(status) == 0:
             exe, _t = _cc.get_executable_and_time(
                 cache_key, compile_options, backend, executable_devices
