@@ -50,6 +50,13 @@ def crossover(argv=None) -> int:
     import os
 
     import jax
+
+    # the sandbox's sitecustomize eagerly registers the TPU plugin, so the
+    # JAX_PLATFORMS env var alone is too late — honor it through the config
+    # (the N-way leg needs the virtual CPU mesh)
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+
     import jax.numpy as jnp
     import numpy as np
 
