@@ -184,6 +184,20 @@ _orig_cawc = _compiler._compile_and_write_cache
 def _quarantined_compile(backend, computation, executable_devices,
                          compile_options, host_callbacks, module_name,
                          cache_key):
+    # only quarantine BIG modules: the observed segfaults are on large
+    # engine programs, and forks wedge often enough (inherited locks) that
+    # paying the watchdog on every of the suite's hundreds of tiny compiles
+    # multiplied the suite wall time
+    try:
+        from jax._src.interpreters import mlir as _mlir
+
+        big = len(_mlir.module_to_bytecode(computation)) > 300_000
+    except Exception:  # noqa: BLE001
+        big = True
+    if not big:
+        return _orig_cawc(backend, computation, executable_devices,
+                          compile_options, host_callbacks, module_name,
+                          cache_key)
     for _attempt in range(2):
         try:
             pid = os.fork()
