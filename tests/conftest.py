@@ -83,6 +83,7 @@ from jax._src import compilation_cache as _cc  # noqa: E402
 
 _orig_put = _cc.put_executable_and_time
 _orig_get = _cc.get_executable_and_time
+_IN_COMPILE_CHILD = False
 
 
 def _child_cpu_ticks(pid: int):
@@ -123,6 +124,12 @@ def _watch_child(pid: int, idle_timeout: float, hard_timeout: float):
 
 def _quarantined_put(cache_key, module_name, executable, backend,
                      compile_time):
+    if _IN_COMPILE_CHILD:
+        # already inside a quarantined compile child: write the entry
+        # directly — a serialize crash kills the (retryable) child instead
+        # of silently losing the entry behind a grandchild fork
+        return _orig_put(cache_key, module_name, executable, backend,
+                         compile_time)
     try:
         pid = os.fork()
     except OSError:
@@ -198,12 +205,14 @@ def _quarantined_compile(backend, computation, executable_devices,
         return _orig_cawc(backend, computation, executable_devices,
                           compile_options, host_callbacks, module_name,
                           cache_key)
-    for _attempt in range(2):
+    for _attempt in range(3):
         try:
             pid = os.fork()
         except OSError:
             break
         if pid == 0:
+            global _IN_COMPILE_CHILD
+            _IN_COMPILE_CHILD = True
             try:
                 _orig_cawc(backend, computation, executable_devices,
                            compile_options, host_callbacks, module_name,
