@@ -191,14 +191,14 @@ _orig_cawc = _compiler._compile_and_write_cache
 def _quarantined_compile(backend, computation, executable_devices,
                          compile_options, host_callbacks, module_name,
                          cache_key):
-    # only quarantine BIG modules: the observed segfaults are on large
-    # engine programs, and forks wedge often enough (inherited locks) that
-    # paying the watchdog on every of the suite's hundreds of tiny compiles
-    # multiplied the suite wall time
+    # only quarantine non-trivial modules (the crash was also observed on a
+    # sub-300KB module, so the gate sits low); trivial jits stay in-process —
+    # forks wedge often enough (inherited locks) that paying the watchdog on
+    # every of the suite's hundreds of tiny compiles multiplied wall time
     try:
         from jax._src.interpreters import mlir as _mlir
 
-        big = len(_mlir.module_to_bytecode(computation)) > 300_000
+        big = len(_mlir.module_to_bytecode(computation)) > 50_000
     except Exception:  # noqa: BLE001
         big = True
     if not big:
@@ -222,7 +222,7 @@ def _quarantined_compile(backend, computation, executable_devices,
                 os._exit(1)
         # a real compile burns CPU continuously; a fork-wedged child sits at
         # 0% — kill on 10 s of no progress instead of waiting out a deadline
-        status = _watch_child(pid, idle_timeout=10.0, hard_timeout=2400.0)
+        status = _watch_child(pid, idle_timeout=6.0, hard_timeout=2400.0)
         if status is None:
             continue  # wedged: retry the fork once, then go in-process
         if os.WIFEXITED(status) and os.WEXITSTATUS(status) == 0:
