@@ -97,6 +97,38 @@ class PartitionedFerns:
         object.__setattr__(self, "host_id", host_id)
         object.__setattr__(self, "_merged_accept", False)
         object.__setattr__(self, "_merged_src_time", -1)
+        object.__setattr__(self, "_merge_seq", 0)
+
+    def _host_allgather(self, tag: str, arr) -> np.ndarray:
+        """All-gather a small f64 vector across hosts.
+
+        Uses the jax.distributed coordination-service KV store when
+        connected: device collectives (gloo on CPU) carry a hard ~30 s
+        context/KV timeout, and ranks legitimately desync by minutes when
+        one is cold-compiling a frame program while the other waits at the
+        merge.  The KV round has an explicit 10-minute timeout instead.
+        Falls back to multihost_utils.process_allgather when no distributed
+        client exists (single-process callers / unit-test monkeypatching)."""
+        import json
+
+        from jax._src import distributed as _dist
+
+        client = getattr(_dist.global_state, "client", None)
+        if client is None:
+            from jax.experimental import multihost_utils as mhu
+
+            return np.asarray(mhu.process_allgather(np.asarray(arr)))
+        seq = self._merge_seq
+        base = f"elasticfusion/fern/{seq}/{tag}"
+        client.key_value_set(
+            f"{base}/{self.host_id}",
+            json.dumps(np.asarray(arr, np.float64).tolist()),
+        )
+        rows = []
+        for r in range(self.n_hosts):
+            v = client.blocking_key_value_get(f"{base}/{r}", 600_000)
+            rows.append(np.asarray(json.loads(v), np.float64))
+        return np.stack(rows)
 
     def __getattr__(self, name):
         # everything not intercepted delegates to the wrapped Ferns
@@ -154,10 +186,9 @@ class PartitionedFerns:
                 best_id, best_d, block_hd, codes, good, views, T_wc, time,
                 lost,
             )
-        from jax.experimental import multihost_utils as mhu
-
         object.__setattr__(self, "_merged_accept", False)
         object.__setattr__(self, "_merged_src_time", -1)
+        object.__setattr__(self, "_merge_seq", self._merge_seq + 1)
         f.last_closest = -1
 
         valid = (
@@ -170,7 +201,7 @@ class PartitionedFerns:
              float(block_hd) if valid else 0.0],
             np.float64,
         )
-        allp = np.asarray(mhu.process_allgather(payload))     # [n_hosts, 3]
+        allp = self._host_allgather("cand", payload)          # [n_hosts, 3]
         order = np.lexsort((allp[:, 1], allp[:, 0]))          # d, then time
         k = int(order[0])
         win_d, win_time, win_hd = allp[k]
@@ -195,7 +226,7 @@ class PartitionedFerns:
                     res[0] = 1.0
                     res[1:17] = np.asarray(T_est, np.float64).reshape(-1)
                     res[17] = win_time
-        merged = np.asarray(mhu.process_allgather(res))[owner]
+        merged = self._host_allgather("verdict", res)[owner]
         if merged[0] == 0.0:
             f.last_closest = -1
             return None, []
