@@ -191,14 +191,15 @@ _orig_cawc = _compiler._compile_and_write_cache
 def _quarantined_compile(backend, computation, executable_devices,
                          compile_options, host_callbacks, module_name,
                          cache_key):
-    # only quarantine non-trivial modules (the crash was also observed on a
-    # sub-300KB module, so the gate sits low); trivial jits stay in-process —
-    # forks wedge often enough (inherited locks) that paying the watchdog on
-    # every of the suite's hundreds of tiny compiles multiplied wall time
+    # quarantine everything but trivial (<5KB) jits: parent-process crashes
+    # were observed on a sub-300KB module and then again on a sub-50KB one
+    # (test_fuse_pallas's window stencil), so the gate keeps only
+    # constant-fold-scale modules in-process; the 6 s CPU-progress watchdog
+    # keeps fork wedges cheap
     try:
         from jax._src.interpreters import mlir as _mlir
 
-        big = len(_mlir.module_to_bytecode(computation)) > 50_000
+        big = len(_mlir.module_to_bytecode(computation)) > 5_000
     except Exception:  # noqa: BLE001
         big = True
     if not big:
