@@ -196,7 +196,7 @@ def _quarantined_compile(backend, computation, executable_devices,
     # size gate is safe; the 6 s CPU-progress watchdog keeps fork wedges
     # cheap and non-wedged tiny compiles only pay ~a fork
     crashed = 0
-    for _attempt in range(3):
+    for _attempt in range(2):
         try:
             pid = os.fork()
         except OSError:
@@ -213,7 +213,7 @@ def _quarantined_compile(backend, computation, executable_devices,
                 os._exit(1)
         # a real compile burns CPU continuously; a fork-wedged child sits at
         # 0% — kill on 10 s of no progress instead of waiting out a deadline
-        status = _watch_child(pid, idle_timeout=6.0, hard_timeout=2400.0)
+        status = _watch_child(pid, idle_timeout=3.0, hard_timeout=2400.0)
         if status is None:
             continue  # wedged: retry the fork
         if os.WIFEXITED(status) and os.WEXITSTATUS(status) == 0:
@@ -224,11 +224,11 @@ def _quarantined_compile(backend, computation, executable_devices,
                 return exe
             break  # compiled fine but uncacheable: recompile in-process
         crashed += 1
-    if crashed >= 3:
+    if crashed >= 2:
         # the module crashes the compiler deterministically: fail THIS test
         # cleanly instead of segfaulting the whole suite in-process
         raise RuntimeError(
-            "XLA:CPU compiler crashed in 3 quarantined attempts for "
+            "XLA:CPU compiler crashed in 2 quarantined attempts for "
             f"module {module_name!r} (known flaky jaxlib bug)"
         )
     return _orig_cawc(backend, computation, executable_devices,
